@@ -1,0 +1,24 @@
+"""Utilities: module system, masks, nn helpers, eval metrics."""
+
+from .masks import (
+    create_alternating_binary_mask,
+    create_mid_split_binary_mask,
+    create_random_binary_mask,
+)
+from .module import (
+    Module,
+    buffer_field,
+    combine,
+    is_array,
+    is_inexact_array,
+    partition,
+    static_field,
+    stop_gradient_params,
+    tree_size,
+)
+from .nn import (
+    PeriodicFeaturesCat,
+    PeriodicFeaturesElementwise,
+    sum_except_batch,
+    tile,
+)
