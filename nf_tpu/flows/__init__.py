@@ -8,6 +8,8 @@ from .affine import (
     CCAffineConst,
     MaskedAffineFlow,
 )
+from .autoregressive import Autoregressive, MaskedAffineAutoregressive
+from .glow import GlowBlock
 from .mixing import (
     Invertible1x1Conv,
     InvertibleAffine,
@@ -17,8 +19,21 @@ from .mixing import (
     _Permutation,
     _RandomPermutation,
 )
+from .neural_spline import (
+    AutoregressiveRationalQuadraticSpline,
+    CircularAutoregressiveRationalQuadraticSpline,
+    CircularCoupledRationalQuadraticSpline,
+    CoupledRationalQuadraticSpline,
+    PiecewiseRationalQuadraticCDF,
+    PiecewiseRationalQuadraticCoupling,
+)
+from .neural_spline.coupling import Coupling
+from .neural_spline.autoregressive import (
+    MaskedPiecewiseRationalQuadraticAutoregressive,
+)
 from .normalization import ActNorm, BatchNorm
+from .periodic import PeriodicShift, PeriodicWrap
 from .planar import Planar
 from .radial import Radial
 from .reshape import Merge, Split, Squeeze
-from .periodic import PeriodicShift, PeriodicWrap
+from .stochastic import HamiltonianMonteCarlo, MetropolisHastings

@@ -1,0 +1,197 @@
+"""User-facing NSF layers (reference ``normflows/flows/neural_spline/wrapper.py``).
+
+These build ResidualNet/MADE conditioners with alternating masks and identity
+init.  **Direction convention** (reference ``wrapper.py:79-85``): the flow's
+``forward`` calls the nsf transform's *inverse* and vice versa — preserved
+exactly, and covered by log-det antisymmetry tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...nets.resnet import ResidualNet
+from ...ops.splines import DEFAULT_MIN_DERIVATIVE
+from ...utils.masks import create_alternating_binary_mask
+from ...utils.module import static_field
+from ...utils.nn import PeriodicFeaturesElementwise
+from ..base import Flow
+from .autoregressive import MaskedPiecewiseRationalQuadraticAutoregressive
+from .coupling import Coupling, PiecewiseRationalQuadraticCoupling
+
+
+def _identity_init_resnet(net):
+    constant = float(np.log(np.exp(1 - DEFAULT_MIN_DERIVATIVE) - 1))
+    final = net.final_layer
+    final = final.replace(weight=jnp.zeros_like(final.weight),
+                          bias=jnp.full_like(final.bias, constant))
+    return net.replace(final_layer=final)
+
+
+class CoupledRationalQuadraticSpline(Flow):
+    """NSF coupling layer with ResidualNet conditioner
+    (reference ``wrapper.py:14-85``)."""
+
+    prqct: PiecewiseRationalQuadraticCoupling
+
+    @classmethod
+    def create(cls, key, num_input_channels, num_blocks, num_hidden_channels,
+               num_context_channels=None, num_bins=8, tails="linear",
+               tail_bound=3.0, activation=jax.nn.relu,
+               dropout_probability=0.0, reverse_mask=False,
+               init_identity=True, dtype=jnp.float32):
+        def transform_net_create_fn(k, in_features, out_features):
+            net = ResidualNet.create(
+                k, in_features=in_features, out_features=out_features,
+                hidden_features=num_hidden_channels,
+                context_features=num_context_channels,
+                num_blocks=num_blocks, activation=activation,
+                dropout_probability=dropout_probability,
+                use_batch_norm=False, dtype=dtype)
+            if init_identity:
+                net = _identity_init_resnet(net)
+            return net
+
+        prqct = PiecewiseRationalQuadraticCoupling.create(
+            key,
+            mask=np.asarray(create_alternating_binary_mask(
+                num_input_channels, even=reverse_mask)),
+            transform_net_create_fn=transform_net_create_fn,
+            num_bins=num_bins, tails=tails, tail_bound=tail_bound,
+            # True corresponds to eqs (4)-(6) in the NSF paper
+            apply_unconditional_transform=True, dtype=dtype)
+        return cls(prqct=prqct)
+
+    def forward(self, z, context=None, key=None):
+        z, log_det = self.prqct.inverse(z, context=context)
+        return z, log_det.reshape(-1)
+
+    def inverse(self, z, context=None, key=None):
+        z, log_det = self.prqct.forward(z, context=context)
+        return z, log_det.reshape(-1)
+
+
+class CircularCoupledRationalQuadraticSpline(Flow):
+    """NSF coupling layer with circular coordinates
+    (reference ``wrapper.py:88-183``)."""
+
+    prqct: PiecewiseRationalQuadraticCoupling
+
+    @classmethod
+    def create(cls, key, num_input_channels, num_blocks, num_hidden_channels,
+               ind_circ, num_context_channels=None, num_bins=8,
+               tail_bound=3.0, activation=jax.nn.relu,
+               dropout_probability=0.0, reverse_mask=False, mask=None,
+               init_identity=True, dtype=jnp.float32):
+        if mask is None:
+            mask = np.asarray(create_alternating_binary_mask(
+                num_input_channels, even=reverse_mask))
+        mask = np.asarray(mask)
+        identity_features, _ = Coupling.split_mask(mask)
+        ind_circ = list(ind_circ)
+        ind_circ_id = [i for i, idf in enumerate(identity_features)
+                       if idf in ind_circ]
+
+        if np.isscalar(tail_bound):
+            scale_pf = np.pi / tail_bound
+        else:
+            scale_pf = np.pi / np.asarray(tail_bound)[
+                np.asarray(identity_features)[ind_circ_id]]
+
+        def transform_net_create_fn(k, in_features, out_features):
+            pf = (PeriodicFeaturesElementwise.create(in_features, ind_circ_id,
+                                                     scale_pf, dtype=dtype)
+                  if ind_circ_id else None)
+            net = ResidualNet.create(
+                k, in_features=in_features, out_features=out_features,
+                hidden_features=num_hidden_channels,
+                context_features=num_context_channels,
+                num_blocks=num_blocks, activation=activation,
+                dropout_probability=dropout_probability,
+                use_batch_norm=False, preprocessing=pf, dtype=dtype)
+            if init_identity:
+                net = _identity_init_resnet(net)
+            return net
+
+        tails = ["circular" if i in ind_circ else "linear"
+                 for i in range(num_input_channels)]
+        prqct = PiecewiseRationalQuadraticCoupling.create(
+            key, mask=mask, transform_net_create_fn=transform_net_create_fn,
+            num_bins=num_bins, tails=tails, tail_bound=tail_bound,
+            apply_unconditional_transform=True, dtype=dtype)
+        return cls(prqct=prqct)
+
+    def forward(self, z, context=None, key=None):
+        z, log_det = self.prqct.inverse(z, context=context)
+        return z, log_det.reshape(-1)
+
+    def inverse(self, z, context=None, key=None):
+        z, log_det = self.prqct.forward(z, context=context)
+        return z, log_det.reshape(-1)
+
+
+class AutoregressiveRationalQuadraticSpline(Flow):
+    """NSF autoregressive layer (reference ``wrapper.py:186-244``)."""
+
+    mprqat: MaskedPiecewiseRationalQuadraticAutoregressive
+
+    @classmethod
+    def create(cls, key, num_input_channels, num_blocks, num_hidden_channels,
+               num_context_channels=None, num_bins=8, tail_bound=3.0,
+               activation=jax.nn.relu, dropout_probability=0.0,
+               permute_mask=False, init_identity=True, dtype=jnp.float32):
+        mprqat = MaskedPiecewiseRationalQuadraticAutoregressive.create(
+            key, features=num_input_channels,
+            hidden_features=num_hidden_channels,
+            context_features=num_context_channels, num_bins=num_bins,
+            tails="linear", tail_bound=tail_bound, num_blocks=num_blocks,
+            use_residual_blocks=True, random_mask=False,
+            permute_mask=permute_mask, activation=activation,
+            dropout_probability=dropout_probability, use_batch_norm=False,
+            init_identity=init_identity, dtype=dtype)
+        return cls(mprqat=mprqat)
+
+    def forward(self, z, context=None, key=None):
+        z, log_det = self.mprqat.inverse(z, context=context)
+        return z, log_det.reshape(-1)
+
+    def inverse(self, z, context=None, key=None):
+        z, log_det = self.mprqat.forward(z, context=context)
+        return z, log_det.reshape(-1)
+
+
+class CircularAutoregressiveRationalQuadraticSpline(Flow):
+    """Circular NSF autoregressive layer (reference ``wrapper.py:247-311``)."""
+
+    mprqat: MaskedPiecewiseRationalQuadraticAutoregressive
+
+    @classmethod
+    def create(cls, key, num_input_channels, num_blocks, num_hidden_channels,
+               ind_circ, num_context_channels=None, num_bins=8,
+               tail_bound=3.0, activation=jax.nn.relu,
+               dropout_probability=0.0, permute_mask=True,
+               init_identity=True, dtype=jnp.float32):
+        tails = ["circular" if i in ind_circ else "linear"
+                 for i in range(num_input_channels)]
+        mprqat = MaskedPiecewiseRationalQuadraticAutoregressive.create(
+            key, features=num_input_channels,
+            hidden_features=num_hidden_channels,
+            context_features=num_context_channels, num_bins=num_bins,
+            tails=tails, tail_bound=tail_bound, num_blocks=num_blocks,
+            use_residual_blocks=True, random_mask=False,
+            permute_mask=permute_mask, activation=activation,
+            dropout_probability=dropout_probability, use_batch_norm=False,
+            init_identity=init_identity, dtype=dtype)
+        return cls(mprqat=mprqat)
+
+    def forward(self, z, context=None, key=None):
+        z, log_det = self.mprqat.inverse(z, context=context)
+        return z, log_det.reshape(-1)
+
+    def inverse(self, z, context=None, key=None):
+        z, log_det = self.mprqat.forward(z, context=context)
+        return z, log_det.reshape(-1)

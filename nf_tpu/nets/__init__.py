@@ -1,3 +1,16 @@
 """Conditioner networks (capability parity with reference ``normflows/nets/``)."""
 
+from .cnn import Conv2d, ConvNet2d
+from .made import (
+    MADE,
+    MaskedFeedforwardBlock,
+    MaskedLinear,
+    MaskedResidualBlock,
+)
 from .mlp import MLP, Linear, clamp_exp
+from .resnet import (
+    ConvResidualBlock,
+    ConvResidualNet,
+    ResidualBlock,
+    ResidualNet,
+)

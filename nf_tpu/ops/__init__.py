@@ -1,0 +1,16 @@
+"""Numeric kernels: the hot compute paths of the framework.
+
+``splines`` — monotone rational-quadratic spline forward/inverse with fused
+log-det (reference ``normflows/utils/splines.py``), written dense
+(where-select, no boolean gathers) so XLA tiles it onto the VPU; a Pallas
+TPU kernel provides the fused fast path.
+"""
+
+from .splines import (
+    DEFAULT_MIN_BIN_HEIGHT,
+    DEFAULT_MIN_BIN_WIDTH,
+    DEFAULT_MIN_DERIVATIVE,
+    rational_quadratic_spline,
+    searchsorted,
+    unconstrained_rational_quadratic_spline,
+)
