@@ -1,0 +1,123 @@
+"""Benchmark: Real NVP coupling forward+inverse with fused log-det,
+samples/s per chip (the BASELINE.json headline metric).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the reference PyTorch implementation
+running the same recipe on this host's CPU (measured here, per BASELINE.md;
+cached in ``.bench_baseline_cache.json``).
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = 1 << 16
+N_ITERS = 32
+K_LAYERS = 16
+HIDDEN = 128
+DIM = 2
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_baseline_cache.json")
+
+
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
+
+    from nf_tpu.models import build_realnvp
+
+    key = jax.random.PRNGKey(0)
+    model = build_realnvp(key, dim=DIM, K=K_LAYERS,
+                          hidden=[HIDDEN, HIDDEN])
+
+    def roundtrip(x):
+        z, ld_f = model.forward_and_log_det(x)
+        x2, ld_i = model.inverse_and_log_det(z)
+        return x2, ld_f + ld_i
+
+    @jax.jit
+    def run(x):
+        def body(carry, _):
+            x, acc = carry
+            x2, ld = roundtrip(x)
+            return (x2, acc + jnp.sum(ld)), None
+
+        (xf, acc), _ = jax.lax.scan(body, (x, 0.0), None, length=N_ITERS)
+        return xf, acc
+
+    x = jax.random.normal(key, (BATCH, DIM))
+    # warmup/compile
+    xf, acc = run(x)
+    xf.block_until_ready()
+    t0 = time.perf_counter()
+    xf, acc = run(x)
+    xf.block_until_ready()
+    dt = time.perf_counter() - t0
+    samples_per_s = BATCH * N_ITERS / dt
+    return samples_per_s, float(acc)
+
+
+def bench_torch_reference():
+    """Same recipe with the reference package on CPU (BASELINE.md)."""
+    if os.path.exists(CACHE_PATH):
+        with open(CACHE_PATH) as f:
+            return json.load(f)["cpu_samples_per_s"]
+    ref_path = "/root/reference"
+    if not os.path.isdir(ref_path):
+        return None
+    sys.path.insert(0, ref_path)
+    try:
+        import torch
+        import normflows as nf
+
+        torch.manual_seed(0)
+        flows = []
+        for i in range(K_LAYERS):
+            b = torch.tensor([(j + i) % 2 for j in range(DIM)],
+                             dtype=torch.float32)
+            s = nf.nets.MLP([DIM, HIDDEN, HIDDEN, DIM], init_zeros=True)
+            t = nf.nets.MLP([DIM, HIDDEN, HIDDEN, DIM], init_zeros=True)
+            flows.append(nf.flows.MaskedAffineFlow(b, t, s))
+            flows.append(nf.flows.ActNorm(DIM))
+        model = nf.NormalizingFlow(nf.distributions.DiagGaussian(DIM), flows)
+        model.eval()
+
+        bt = 4096
+        x = torch.randn(bt, DIM)
+        with torch.no_grad():
+            model.forward_and_log_det(x)  # trigger ActNorm init
+            # timed loop
+            iters = 4
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                z, _ = model.forward_and_log_det(x)
+                x2, _ = model.inverse_and_log_det(z)
+            dt = time.perf_counter() - t0
+        sps = bt * iters / dt
+        with open(CACHE_PATH, "w") as f:
+            json.dump({"cpu_samples_per_s": sps}, f)
+        return sps
+    except Exception as e:
+        print(f"# torch baseline failed: {e}", file=sys.stderr)
+        return None
+    finally:
+        sys.path.remove(ref_path)
+
+
+def main():
+    sps, _ = bench_jax()
+    baseline = bench_torch_reference()
+    vs = sps / baseline if baseline else 0.0
+    print(json.dumps({
+        "metric": "realnvp_k16_coupling_fwd_inv_logdet",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Canonical model builders matching the reference example recipes.
+
+Each builder returns a ready ``NormalizingFlow`` (or ``MultiscaleFlow``)
+mirroring the corresponding reference notebook configuration (cited per
+function), so benchmark and accuracy comparisons run the same recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import core
+from .. import distributions as dist
+from .. import flows as nff
+from ..nets import MLP
+from ..transforms import Logit
+from ..utils.masks import create_alternating_binary_mask
+
+
+def build_realnvp(key, dim=2, K=64, hidden=None, target=None,
+                  trainable_base=False, dtype=jnp.float32):
+    """Real NVP stack: MaskedAffineFlow + ActNorm pairs
+    (reference ``examples/real_nvp.ipynb`` cell 2: K=64, MLP [2,64,64,2],
+    zero-init last layer)."""
+    hidden = hidden or [dim * 32, dim * 32]
+    keys = jax.random.split(key, 2 * K)
+    layers = [dim] + list(hidden) + [dim]
+    flows = []
+    for i in range(K):
+        b = create_alternating_binary_mask(dim, even=(i % 2 == 0),
+                                           dtype=dtype)
+        s = MLP.create(keys[2 * i], layers, init_zeros=True, dtype=dtype)
+        t = MLP.create(keys[2 * i + 1], layers, init_zeros=True, dtype=dtype)
+        flows.append(nff.MaskedAffineFlow.create(b, t=t, s=s))
+        flows.append(nff.ActNorm.create(dim, dtype=dtype))
+    q0 = dist.DiagGaussian.create(dim, trainable=trainable_base, dtype=dtype)
+    return core.NormalizingFlow.create(q0, flows,
+                                       p=target or dist.TwoModes())
+
+
+def build_planar_stack(key, dim=2, K=16, target=None):
+    """Planar flow stack for reverse-KL VI (reference ``planar.ipynb``)."""
+    keys = jax.random.split(key, K)
+    flows = [nff.Planar.create(keys[i], (dim,)) for i in range(K)]
+    q0 = dist.DiagGaussian.create(dim, trainable=True)
+    return core.NormalizingFlow.create(q0, flows, p=target)
+
+
+def build_radial_stack(key, dim=2, K=16, target=None):
+    """Radial flow stack (forward-only density refinement)."""
+    keys = jax.random.split(key, K)
+    flows = [nff.Radial.create(keys[i], (dim,)) for i in range(K)]
+    q0 = dist.DiagGaussian.create(dim, trainable=True)
+    return core.NormalizingFlow.create(q0, flows, p=target)
+
+
+def build_nsf(key, dim=2, K=8, hidden=128, num_bins=8, num_blocks=2,
+              tail_bound=3.0, permutation=True, target=None):
+    """Coupled RQ-spline NSF with LULinearPermute mixing
+    (reference NSF recipes, e.g. ``comparison.ipynb``)."""
+    keys = jax.random.split(key, 2 * K)
+    flows = []
+    for i in range(K):
+        flows.append(nff.CoupledRationalQuadraticSpline.create(
+            keys[2 * i], num_input_channels=dim, num_blocks=num_blocks,
+            num_hidden_channels=hidden, num_bins=num_bins,
+            tail_bound=tail_bound, reverse_mask=(i % 2 == 1)))
+        if permutation:
+            flows.append(nff.LULinearPermute.create(keys[2 * i + 1], dim))
+    q0 = dist.DiagGaussian.create(dim, trainable=False)
+    return core.NormalizingFlow.create(q0, flows, p=target)
+
+
+def build_circular_nsf(key, dim=2, ind_circ=(0,), K=12, hidden=512,
+                       num_bins=10, tail_bound=None, target=None,
+                       scale=None):
+    """Circular autoregressive NSF on a cylinder — the reference paper
+    example (``examples/paper_example_nsf.ipynb`` cell 8: K=12, 512 hidden,
+    10 bins, UniformGaussian base, PeriodicWrap)."""
+    ind_circ = list(ind_circ)
+    if tail_bound is None:
+        tb = np.full(dim, 3.0)
+        tb[ind_circ] = np.pi
+        tail_bound = jnp.asarray(tb, jnp.float32)
+    if scale is None:
+        sc = np.ones(dim)
+        sc[ind_circ] = 2 * np.pi
+        scale = jnp.asarray(sc, jnp.float32)
+    keys = jax.random.split(key, K)
+    flows = []
+    for i in range(K):
+        flows.append(nff.CircularAutoregressiveRationalQuadraticSpline.create(
+            keys[i], num_input_channels=dim, num_blocks=1,
+            num_hidden_channels=hidden, ind_circ=ind_circ, num_bins=num_bins,
+            tail_bound=tail_bound, permute_mask=True))
+    flows.append(nff.PeriodicWrap.create(ind_circ, bound=np.pi))
+    q0 = dist.UniformGaussian.create(dim, ind=ind_circ, scale=scale)
+    return core.NormalizingFlow.create(q0, flows, p=target)
+
+
+def build_maf(key, dim=2, K=8, hidden=64, num_blocks=2, target=None):
+    """Masked autoregressive flow stack with permutations."""
+    keys = jax.random.split(key, 2 * K)
+    flows = []
+    for i in range(K):
+        flows.append(nff.MaskedAffineAutoregressive.create(
+            keys[2 * i], features=dim, hidden_features=hidden,
+            num_blocks=num_blocks))
+        flows.append(nff.Permute.create(keys[2 * i + 1], dim))
+    q0 = dist.DiagGaussian.create(dim, trainable=False)
+    return core.NormalizingFlow.create(q0, flows, p=target)
+
+
+def build_glow_multiscale(key, input_shape=(3, 32, 32), L=3, K=16,
+                          hidden_channels=256, num_classes=10,
+                          class_cond=True, split_mode="channel",
+                          scale=True, use_lu=True, logit_alpha=0.05,
+                          dtype=jnp.float32):
+    """Multi-scale Glow (reference ``examples/glow.ipynb`` cell 2: L=3,
+    K=16, hidden 256, class-conditional base, Logit transform)."""
+    C, H, W = input_shape
+    keys = jax.random.split(key, L * K)
+    q0, flows, merges = [], [], []
+    ki = 0
+    for i in range(L):
+        ch = C * 2 ** (L + 1 - i)
+        flows_ = [nff.GlowBlock.create(keys[ki + j], ch, hidden_channels,
+                                       scale=scale, split_mode=split_mode,
+                                       use_lu=use_lu, dtype=dtype)
+                  for j in range(K)]
+        ki += K
+        flows_.append(nff.Squeeze())
+        flows.append(flows_)
+        if i > 0:
+            merges.append(nff.Merge())
+            latent_shape = (C * 2 ** (L - i), H // 2 ** (L - i),
+                            W // 2 ** (L - i))
+        else:
+            latent_shape = (C * 2 ** (L + 1), H // 2 ** L, W // 2 ** L)
+        if class_cond:
+            q0.append(dist.ClassCondDiagGaussian.create(latent_shape,
+                                                        num_classes))
+        else:
+            q0.append(dist.GlowBase.create(latent_shape))
+    return core.MultiscaleFlow.create(q0, flows, merges,
+                                      transform=Logit(alpha=logit_alpha),
+                                      class_cond=class_cond)

@@ -1,0 +1,18 @@
+"""Parallelism: device meshes, sharded training steps, collective losses.
+
+The reference has **no distributed backend at all** (SURVEY §2.6 — no
+torch.distributed/NCCL/MPI anywhere); this package is the new first-class
+TPU-native equivalent: ``jax.sharding.Mesh`` over ICI, batch/sample-dimension
+sharding with ``NamedSharding``, and psum-reduced losses/gradients via
+``shard_map`` where explicit collectives are clearer than the SPMD
+partitioner's defaults.
+"""
+
+from .mesh import data_sharding, make_mesh, replicated
+from .train import (
+    TrainState,
+    init_train_state,
+    make_forward_kld_step,
+    make_reverse_kld_step,
+    shard_batch,
+)

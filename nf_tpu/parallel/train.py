@@ -1,0 +1,153 @@
+"""Sharded training steps.
+
+Two strategies matching the two loss families (SURVEY §3.1/§3.2):
+
+* :func:`make_forward_kld_step` — **data parallelism** for maximum-likelihood
+  training: the batch shards over the ``data`` axis, parameters replicate,
+  and the SPMD partitioner inserts the psum for the mean loss and the grad
+  all-reduce (the TPU-native replacement for a DDP wrapper).
+* :func:`make_reverse_kld_step` — **sample parallelism** for variational
+  inference: each device draws its own slice of the Monte-Carlo sample batch
+  from a per-device folded key inside ``shard_map``, computes local
+  loss/grads, and explicitly ``psum``s them over ICI.  RNG stays
+  counter-based and reproducible regardless of device count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..utils.module import Module, combine, partition
+from .mesh import data_sharding, replicated
+
+
+class TrainState(Module):
+    """Replicated training state: trainable params + optimizer state + step.
+
+    The non-trainable remainder of the model (buffers, static config) stays
+    outside as the ``static`` closure of the step function.
+    """
+
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+    @classmethod
+    def create(cls, params, optimizer):
+        return cls(params=params, opt_state=optimizer.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def init_train_state(model, optimizer):
+    """Split ``model`` into (TrainState, static); reunite with ``combine``."""
+    params, static = partition(model)
+    return TrainState.create(params, optimizer), static
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with its leading axis sharded over ``data``."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch)
+
+
+def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
+                          loss_fn: Optional[Callable] = None,
+                          donate: bool = False):
+    """Build a jitted data-parallel MLE step.
+
+    ``loss_fn(model, batch) -> scalar`` defaults to ``model.forward_kld(x)``
+    with ``batch`` either an array ``x`` or a ``(x, y)`` tuple (class-
+    conditional models).  Returns ``step(state, batch) -> (state, loss)``.
+    """
+    if loss_fn is None:
+        def loss_fn(model, batch):
+            if isinstance(batch, (tuple, list)):
+                return model.forward_kld(*batch)
+            return model.forward_kld(batch)
+
+    def step(state: TrainState, batch):
+        def compute(p):
+            model = combine(p, static)
+            return loss_fn(model, batch)
+
+        loss, grads = jax.value_and_grad(compute)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = _apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
+    if mesh is None:
+        return jax.jit(step, **donate_kw)
+    repl = replicated(mesh)
+    return jax.jit(step, in_shardings=(repl, data_sharding(mesh, 1)),
+                   out_shardings=(repl, repl), **donate_kw)
+
+
+def _apply_updates(params, updates):
+    import optax
+
+    return optax.apply_updates(params, updates)
+
+
+def make_reverse_kld_step(static, optimizer, mesh: Mesh,
+                          num_samples: int, beta_schedule=None,
+                          score_fn=True, axis: str = "data",
+                          donate: bool = False):
+    """Build a jitted sample-parallel VI step with explicit collectives.
+
+    Each device draws ``num_samples // n_devices`` samples from a key folded
+    with its mesh position, computes the local reverse KLD and its grads,
+    and psums both over the ``data`` axis.  ``beta_schedule(step) -> beta``
+    enables the reference's annealing (``core.py:104``).
+
+    Returns ``step(state, key) -> (state, loss)``.
+    """
+    n_dev = mesh.shape[axis]
+    if num_samples % n_dev != 0:
+        raise ValueError(f"num_samples {num_samples} must divide over "
+                         f"{n_dev} devices")
+    local_samples = num_samples // n_dev
+    if beta_schedule is None:
+        beta_schedule = lambda step: 1.0
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P()),  # params/state replicated, key replicated
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def sharded_grads(params, key, beta):
+        idx = jax.lax.axis_index(axis)
+        local_key = jax.random.fold_in(key, idx)
+
+        def compute(p):
+            model = combine(p, static)
+            return model.reverse_kld(local_key, num_samples=local_samples,
+                                     beta=beta, score_fn=score_fn)
+
+        loss, grads = jax.value_and_grad(compute)(params)
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axis)
+        return loss, grads
+
+    def step(state: TrainState, key):
+        beta = beta_schedule(state.step)
+        loss, grads = sharded_grads(state.params, key, beta)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = _apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
+    repl = replicated(mesh)
+    return jax.jit(step, in_shardings=(repl, repl),
+                   out_shardings=(repl, repl), **donate_kw)

@@ -1,0 +1,125 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: sharded MLE and VI steps
+produce the same math as single-device, and scale the sample dimension."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import nf_tpu
+import nf_tpu.distributions as dist
+import nf_tpu.flows as nff
+from nf_tpu.nets import MLP
+from nf_tpu.parallel import (
+    TrainState,
+    init_train_state,
+    make_forward_kld_step,
+    make_reverse_kld_step,
+    make_mesh,
+    shard_batch,
+)
+from nf_tpu.utils import combine, create_alternating_binary_mask, partition
+
+KEY = jax.random.PRNGKey(99)
+
+
+def make_model(key, K=4, hidden=32):
+    keys = jax.random.split(key, 2 * K)
+    flows = []
+    for i in range(K):
+        b = create_alternating_binary_mask(2, even=(i % 2 == 0))
+        s = MLP.create(keys[2 * i], [2, hidden, 2], init_zeros=True)
+        t = MLP.create(keys[2 * i + 1], [2, hidden, 2], init_zeros=True)
+        flows.append(nff.MaskedAffineFlow.create(b, t=t, s=s))
+        flows.append(nff.ActNorm.create(2))
+    q0 = dist.DiagGaussian.create(2, trainable=False)
+    return nf_tpu.NormalizingFlow.create(q0, flows, p=dist.TwoModes())
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_data_parallel_forward_kld_matches_single_device():
+    mesh = make_mesh()
+    model = make_model(KEY)
+    x = dist.TwoMoons().sample(KEY, 64)
+    opt = optax.adam(1e-3)
+    state, static = init_train_state(model, opt)
+
+    step_sharded = make_forward_kld_step(static, opt, mesh=mesh)
+    step_local = make_forward_kld_step(static, opt, mesh=None)
+
+    # the sharded step donates its input state; give each step its own copy
+    state2 = jax.tree_util.tree_map(jnp.array, state)
+
+    xs = shard_batch(mesh, x)
+    state_s, loss_s = step_sharded(state, xs)
+    state_l, loss_l = step_local(state2, x)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_l), rtol=1e-5)
+    # updated parameters agree
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
+                    jax.tree_util.tree_leaves(state_l.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sample_parallel_reverse_kld_trains():
+    mesh = make_mesh()
+    model = make_model(KEY)
+    model = model.init_from_samples(KEY, num_samples=128)
+    opt = optax.adam(5e-3)
+    state, static = init_train_state(model, opt)
+    step = make_reverse_kld_step(static, opt, mesh, num_samples=512)
+    losses = []
+    key = KEY
+    for it in range(60):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, sub)
+        losses.append(float(loss))
+    assert int(state.step) == 60
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.2, losses[::10]
+
+
+def test_reverse_kld_beta_schedule_applies():
+    mesh = make_mesh()
+    model = make_model(KEY)
+    opt = optax.sgd(0.0)  # no updates: isolate the beta effect
+    state, static = init_train_state(model, opt)
+    full = make_reverse_kld_step(static, opt, mesh, num_samples=256)
+    cold = make_reverse_kld_step(static, opt, mesh, num_samples=256,
+                                 beta_schedule=lambda s: 0.1)
+    state2 = jax.tree_util.tree_map(jnp.array, state)
+    _, l_full = full(state, KEY)
+    _, l_cold = cold(state2, KEY)
+    assert not np.allclose(float(l_full), float(l_cold))
+
+
+def test_reverse_kld_sharded_matches_replicated_math():
+    """The psum-of-local-means estimator equals the global mean when each
+    device uses its own fold_in key — check the loss is deterministic given
+    the key and finite."""
+    mesh = make_mesh()
+    model = make_model(KEY)
+    opt = optax.sgd(0.0)
+    state, static = init_train_state(model, opt)
+    step = make_reverse_kld_step(static, opt, mesh, num_samples=256)
+    state2 = jax.tree_util.tree_map(jnp.array, state)  # step donates input
+    _, l1 = step(state, KEY)
+    _, l2 = step(state2, KEY)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_sharded_sampling_and_log_prob():
+    """log_prob on a sharded batch runs under jit with the batch split over
+    devices (inference-side data parallelism)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh()
+    model = make_model(KEY)
+    x = jax.device_put(jax.random.normal(KEY, (64, 2)),
+                       NamedSharding(mesh, P("data", None)))
+    lp = jax.jit(model.log_prob)(x)
+    assert lp.shape == (64,)
+    assert np.isfinite(np.asarray(lp)).all()
