@@ -1,0 +1,280 @@
+"""Residual flows: invertible residual blocks with power-series log-det
+estimators (reference ``normflows/flows/residual.py``, from the
+residual-flows codebase; Behrmann et al. / Chen et al.).
+
+TPU-first redesign of the reference's autograd machinery:
+
+* **Fixed-point inverse** (reference ``residual.py:133-142``, python while
+  loop): a ``lax.while_loop`` with the same atol/rtol stopping rule and a
+  1000-iteration cap — compiles into the step.
+* **Unbiased russian-roulette series** (reference ``residual.py:163-198``,
+  host-sampled series length → dynamic loop): the series length is sampled
+  with ``jax.random.geometric``/``poisson`` *inside* jit, and the power
+  series runs to a static cap with per-term masking, so shapes stay static.
+  With the default cap the truncation tail probability is < 1e-6.
+* **Neumann gradient estimator** (reference ``residual.py:368-379``): the
+  non-differentiable Neumann sum accumulates under ``stop_gradient`` and one
+  differentiable vjp application carries the gradient — the JAX-native form
+  of the reference's ``MemoryEfficientLogDetEstimator`` custom Function
+  (``residual.py:282-352``).  ``reduce_memory=True`` additionally wraps the
+  estimator in ``jax.checkpoint`` so the vjp chain rematerializes instead of
+  being stored.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.module import Module, static_field
+from .base import Flow
+
+
+def _batch_dot(a, b):
+    return jnp.sum(a.reshape(a.shape[0], -1) * b.reshape(b.shape[0], -1),
+                   axis=1)
+
+
+def geometric_1mcdf(p, k, offset):
+    """P(n >= k) for the geometric with support {1,2,...}
+    (reference ``residual.py:398-404``)."""
+    kk = k - offset
+    val = (1 - p) ** jnp.maximum(kk - 1, 0)
+    return jnp.where(k <= offset, 1.0, val)
+
+
+def poisson_1mcdf(lamb, k, offset, max_k):
+    """P(n >= k) for Poisson (reference ``residual.py:411-421``)."""
+    i = jnp.arange(max_k + 1).astype(jnp.float32)
+    terms = jnp.exp(i * jnp.log(lamb) - jax.lax.lgamma(i + 1.0))
+    cumsum = jnp.cumsum(terms)  # cumsum[j] = sum_{i=0..j} lamb^i/i!
+    kk = k - offset
+    idx = jnp.clip(kk - 1, 0, max_k)
+    s = cumsum[idx]  # 1 + sum_{i=1}^{kk-1} lamb^i/i!
+    val = 1.0 - jnp.exp(-lamb) * s
+    return jnp.where(k <= offset, 1.0, val)
+
+
+class iResBlock(Module):
+    """Invertible residual block ``y = x + g(x)`` with stochastic log-det
+    (reference ``residual.py:78-437``)."""
+
+    nnet: Any
+    geom_p_logit: jax.Array
+    lamb: jax.Array
+    n_samples: int = static_field(default=1)
+    n_power_series: Optional[int] = static_field(default=None)
+    n_power_series_max: int = static_field(default=24)
+    exact_trace: bool = static_field(default=False)
+    brute_force: bool = static_field(default=False)
+    n_exact_terms: int = static_field(default=2)
+    n_dist: str = static_field(default="geometric")
+    neumann_grad: bool = static_field(default=True)
+    grad_in_forward: bool = static_field(default=False)
+
+    @classmethod
+    def create(cls, nnet, geom_p=0.5, lamb=2.0, n_power_series=None,
+               exact_trace=False, brute_force=False, n_samples=1,
+               n_exact_terms=2, n_dist="geometric", neumann_grad=True,
+               grad_in_forward=False, n_power_series_max=24,
+               dtype=jnp.float32):
+        return cls(
+            nnet=nnet,
+            geom_p_logit=jnp.asarray(np.log(geom_p) - np.log(1 - geom_p),
+                                     dtype),
+            lamb=jnp.asarray(lamb, dtype),
+            n_samples=n_samples, n_power_series=n_power_series,
+            n_power_series_max=n_power_series_max, exact_trace=exact_trace,
+            brute_force=brute_force, n_exact_terms=n_exact_terms,
+            n_dist=n_dist, neumann_grad=neumann_grad,
+            grad_in_forward=grad_in_forward)
+
+    # --- forward: y = x + g(x), logdet ---------------------------------------
+
+    def forward(self, x, logpx=None, key=None):
+        if logpx is None:
+            return x + self.nnet(x)
+        g, logdetgrad = self._logdetgrad(x, key)
+        return x + g, logpx - logdetgrad
+
+    def inverse(self, y, logpy=None, key=None):
+        x = self._inverse_fixed_point(y)
+        if logpy is None:
+            return x
+        return x, logpy + self._logdetgrad(x, key)[1]
+
+    def _inverse_fixed_point(self, y, atol=1e-5, rtol=1e-5):
+        """Banach fixed-point iteration (reference ``residual.py:133-142``)."""
+        tol = atol + jnp.abs(y) * rtol
+
+        def cond(state):
+            x, x_prev, i = state
+            not_conv = jnp.any((x - x_prev) ** 2 / tol >= 1)
+            return jnp.logical_and(not_conv, i <= 1000)
+
+        def body(state):
+            x, _, i = state
+            return y - self.nnet(x), x, i + 1
+
+        x0 = y - self.nnet(y)
+        x, _, _ = jax.lax.while_loop(cond, body, (x0, y, jnp.asarray(0)))
+        return x
+
+    # --- log-det estimators ---------------------------------------------------
+
+    def _sample_coeffs(self, key):
+        """Sample series lengths and build the per-term russian-roulette
+        coefficients up to the static cap (reference ``residual.py:163-198``)."""
+        cap = self.n_power_series_max
+        ks = jnp.arange(1, cap + 1)
+        if self.n_power_series is not None:
+            n_terms = self.n_power_series
+            coeffs = (ks <= n_terms).astype(jnp.float32)
+            return coeffs
+
+        if self.n_dist == "geometric":
+            p = jax.nn.sigmoid(jax.lax.stop_gradient(self.geom_p_logit))
+            n = jax.random.geometric(key, p, (self.n_samples,))
+            rcdf = geometric_1mcdf(p, ks, self.n_exact_terms)
+        elif self.n_dist == "poisson":
+            lam = jax.lax.stop_gradient(self.lamb)
+            n = jax.random.poisson(key, lam, (self.n_samples,))
+            rcdf = poisson_1mcdf(lam, ks, self.n_exact_terms, cap)
+        else:
+            raise NotImplementedError(self.n_dist)
+        n = jnp.minimum(n, self.n_power_series_max - self.n_exact_terms)
+        n_max = jnp.max(n) + self.n_exact_terms
+        frac = jnp.mean((n[None, :] >= (ks[:, None] - self.n_exact_terms))
+                        .astype(jnp.float32), axis=1)
+        coeffs = frac / rcdf
+        coeffs = jnp.where(ks <= n_max, coeffs, 0.0)
+        return coeffs
+
+    def _hutchinson_series(self, x, key):
+        """Power series with Hutchinson trace estimator; returns (g, logdet)."""
+        k_eps, k_n = jax.random.split(key)
+        vareps = jax.random.normal(k_eps, x.shape, x.dtype)
+        coeffs = self._sample_coeffs(k_n)  # (cap,)
+        cap = self.n_power_series_max
+        signs = jnp.asarray([(-1.0) ** (k + 1) for k in range(1, cap + 1)],
+                            x.dtype)
+        inv_k = jnp.asarray([1.0 / k for k in range(1, cap + 1)], x.dtype)
+
+        g, vjp_fn = jax.vjp(self.nnet, x)
+
+        if self.neumann_grad:
+            # Neumann-series gradient estimator (reference
+            # ``residual.py:368-379``): accumulate under stop_gradient,
+            # then one differentiable vjp application.
+            def body(carry, k_idx):
+                vjp, neumann = carry
+                vjp = jax.lax.stop_gradient(vjp_fn(vjp)[0])
+                # (-1)^k with k = k_idx + 1 (reference ``residual.py:373``)
+                sign = jnp.where((k_idx + 1) % 2 == 0, 1.0, -1.0)
+                neumann = neumann + sign * coeffs[k_idx] * vjp
+                return (vjp, neumann), None
+
+            (_, neumann_vjp), _ = jax.lax.scan(
+                body, (vareps, vareps), jnp.arange(cap))
+            vjp_jac = vjp_fn(jax.lax.stop_gradient(neumann_vjp))[0]
+            logdetgrad = _batch_dot(vjp_jac, vareps)
+        else:
+            # basic estimator (reference ``residual.py:355-365``):
+            # fully differentiable power series
+            def body(carry, k_idx):
+                vjp, acc = carry
+                vjp = vjp_fn(vjp)[0]
+                tr = _batch_dot(vjp, vareps)
+                acc = acc + signs[k_idx] * inv_k[k_idx] * coeffs[k_idx] * tr
+                return (vjp, acc), None
+
+            (_, logdetgrad), _ = jax.lax.scan(
+                body, (vareps, jnp.zeros(x.shape[0], x.dtype)),
+                jnp.arange(cap))
+        return g, logdetgrad
+
+    def _exact_trace_series(self, x):
+        """Power series with exact Jacobian traces
+        (reference ``residual.py:229-242``)."""
+        n_terms = self.n_power_series or (self.n_exact_terms + 4)
+
+        def single_jac(xi):
+            return jax.jacfwd(lambda z: self.nnet(z[None])[0])(xi)
+
+        g = self.nnet(x)
+        jac = jax.vmap(single_jac)(x)
+        logdetgrad = jnp.trace(jac, axis1=-2, axis2=-1)
+        jac_k = jac
+        for k in range(2, n_terms + 1):
+            jac_k = jnp.einsum("bij,bjk->bik", jac, jac_k)
+            logdetgrad = logdetgrad + (-1.0) ** (k + 1) / k * jnp.trace(
+                jac_k, axis1=-2, axis2=-1)
+        return g, logdetgrad
+
+    def _brute_force_2d(self, x):
+        """Exact 2D log-det (reference ``residual.py:148-161``)."""
+
+        def single_jac(xi):
+            return jax.jacfwd(lambda z: self.nnet(z[None])[0])(xi)
+
+        g = self.nnet(x)
+        jac = jax.vmap(single_jac)(x)
+        dets = (jac[:, 0, 0] + 1) * (jac[:, 1, 1] + 1) \
+            - jac[:, 0, 1] * jac[:, 1, 0]
+        return g, jnp.log(jnp.abs(dets))
+
+    def _logdetgrad(self, x, key):
+        if self.brute_force and x.ndim == 2 and x.shape[1] == 2:
+            return self._brute_force_2d(x)
+        if self.exact_trace:
+            return self._exact_trace_series(x)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if self.grad_in_forward:
+            # remat: recompute the vjp chain in the backward pass instead of
+            # storing it — the XLA-native analogue of the reference's
+            # backprop-in-forward custom Function (``residual.py:282-352``)
+            fn = jax.checkpoint(lambda x_, k_: self._hutchinson_series(x_, k_))
+            return fn(x, key)
+        return self._hutchinson_series(x, key)
+
+
+class Residual(Flow):
+    """Flow wrapper over :class:`iResBlock`
+    (reference ``residual.py:12-75``).  ``reverse=True`` (default) puts
+    ``x + g(x)`` on the inverse pass, i.e. the density-evaluation direction
+    is the cheap one."""
+
+    iresblock: iResBlock
+    reverse: bool = static_field(default=True)
+
+    @classmethod
+    def create(cls, net, reverse=True, reduce_memory=True, geom_p=0.5,
+               lamb=2.0, n_power_series=None, exact_trace=False,
+               brute_force=False, n_samples=1, n_exact_terms=2,
+               n_dist="geometric", n_power_series_max=24):
+        block = iResBlock.create(
+            net, geom_p=geom_p, lamb=lamb, n_power_series=n_power_series,
+            exact_trace=exact_trace, brute_force=brute_force,
+            n_samples=n_samples, n_exact_terms=n_exact_terms, n_dist=n_dist,
+            neumann_grad=reduce_memory, grad_in_forward=reduce_memory,
+            n_power_series_max=n_power_series_max)
+        return cls(iresblock=block, reverse=reverse)
+
+    def forward(self, z, context=None, key=None):
+        if self.reverse:
+            z, log_det = self.iresblock.inverse(z, 0.0, key=key)
+        else:
+            z, log_det = self.iresblock.forward(z, 0.0, key=key)
+        return z, -log_det.reshape(-1)
+
+    def inverse(self, z, context=None, key=None):
+        if self.reverse:
+            z, log_det = self.iresblock.forward(z, 0.0, key=key)
+        else:
+            z, log_det = self.iresblock.inverse(z, 0.0, key=key)
+        return z, -log_det.reshape(-1)

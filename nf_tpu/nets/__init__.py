@@ -8,6 +8,13 @@ from .made import (
     MaskedResidualBlock,
 )
 from .mlp import MLP, Linear, clamp_exp
+from .lipschitz import (
+    InducedNormConv2d,
+    InducedNormLinear,
+    LipschitzCNN,
+    LipschitzMLP,
+    Swish,
+)
 from .resnet import (
     ConvResidualBlock,
     ConvResidualNet,

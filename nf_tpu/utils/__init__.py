@@ -16,6 +16,7 @@ from .module import (
     stop_gradient_params,
     tree_size,
 )
+from .optim import lipschitz_scales, update_lipschitz
 from .nn import (
     PeriodicFeaturesCat,
     PeriodicFeaturesElementwise,
