@@ -16,7 +16,11 @@ from .module import (
     stop_gradient_params,
     tree_size,
 )
+from .config import TrainConfig
+from .logging import MetricLogger, effective_sample_size, mcmc_acceptance_rate
 from .optim import lipschitz_scales, update_lipschitz
+from .profiling import Named, throughput, trace
+from .serialization import CheckpointManager, load, save
 from .nn import (
     PeriodicFeaturesCat,
     PeriodicFeaturesElementwise,

@@ -1,0 +1,52 @@
+"""Minimal flag/config system for training binaries (SURVEY §5 — the
+reference's only CLI is argparse in one example).  Library code keeps
+constructor-kwarg parity; scripts parse a :class:`TrainConfig`."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "realnvp"  # realnvp | nsf | circular_nsf | maf | glow | residual
+    target: str = "two_modes"  # two_modes | two_moons | circular_gmm | rings
+    loss: str = "reverse_kld"  # reverse_kld | forward_kld
+    dim: int = 2
+    num_layers: int = 8
+    hidden: int = 128
+    num_bins: int = 8
+    batch_size: int = 1024
+    num_samples: int = 1024
+    iters: int = 5000
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    beta_anneal_iters: int = 0
+    seed: int = 0
+    bf16: bool = False
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 1000
+    log_path: Optional[str] = None
+    log_every: int = 100
+
+    @classmethod
+    def from_args(cls, argv=None):
+        parser = argparse.ArgumentParser()
+        for f in dataclasses.fields(cls):
+            arg_type = f.type if f.type in (int, float, str) else None
+            if f.type == bool or f.default in (True, False):
+                parser.add_argument(f"--{f.name}", action="store_true"
+                                    if not f.default else "store_false")
+            elif isinstance(f.default, (int, float, str)) or f.default is None:
+                parser.add_argument(
+                    f"--{f.name}",
+                    type=type(f.default) if f.default is not None else str,
+                    default=f.default)
+        args = parser.parse_args(argv)
+        return cls(**vars(args))
+
+    def to_json(self):
+        return json.dumps(dataclasses.asdict(self), indent=2)
