@@ -14,3 +14,4 @@ from .splines import (
     searchsorted,
     unconstrained_rational_quadratic_spline,
 )
+from .splines_pallas import fused_unconstrained_rqs

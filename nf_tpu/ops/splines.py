@@ -30,6 +30,16 @@ DEFAULT_MIN_BIN_WIDTH = 1e-3
 DEFAULT_MIN_BIN_HEIGHT = 1e-3
 DEFAULT_MIN_DERIVATIVE = 1e-3
 
+# global switch for the fused Pallas fast path (auto-dispatch on TPU)
+_PALLAS_ENABLED = True
+
+
+def set_pallas_enabled(flag: bool) -> None:
+    """Globally enable/disable the fused Pallas spline kernel (debugging /
+    A-B numerics comparisons). Auto-dispatch still requires a TPU backend."""
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = bool(flag)
+
 
 def searchsorted(bin_locations, inputs, eps=1e-6):
     """Index of the bin containing each input, by compare-and-sum
@@ -158,6 +168,7 @@ def unconstrained_rational_quadratic_spline(
     min_bin_width=DEFAULT_MIN_BIN_WIDTH,
     min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
     min_derivative=DEFAULT_MIN_DERIVATIVE,
+    use_pallas=None,
 ):
     """RQ spline on [-tail_bound, tail_bound] with identity tails
     (reference ``splines.py:16-97``).
@@ -166,6 +177,10 @@ def unconstrained_rational_quadratic_spline(
     'circular' (one extra derivative; last == first), or a per-feature
     list/tuple mixing the two (derivatives must then already have K+1
     entries).  ``tail_bound`` may be a scalar or per-feature array.
+
+    ``use_pallas``: route the evaluation through the fused Pallas TPU kernel
+    (``splines_pallas.fused_unconstrained_rqs``). ``None`` = auto: on TPU
+    for problem sizes past the kernel's break-even point.
     """
     constant = float(np.log(np.exp(1 - min_derivative) - 1))
 
@@ -193,6 +208,19 @@ def unconstrained_rational_quadratic_spline(
 
     tb = jnp.asarray(tail_bound, inputs.dtype)
     tb = jnp.broadcast_to(tb, inputs.shape)
+
+    if use_pallas is None:
+        use_pallas = (_PALLAS_ENABLED
+                      and jax.default_backend() == "tpu"
+                      and inputs.size >= 4096)
+    if use_pallas:
+        from .splines_pallas import fused_unconstrained_rqs
+
+        return fused_unconstrained_rqs(
+            inputs, unnormalized_widths, unnormalized_heights, ud, tb,
+            inverse=inverse, min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height, min_derivative=min_derivative)
+
     inside = (inputs >= -tb) & (inputs <= tb)
 
     # clamp so the spline math never sees out-of-interval values (keeps the
