@@ -1,0 +1,151 @@
+"""Multi-metric TPU benchmark suite.
+
+Methodology: the axon relay under-reports async dispatch loops, so every
+metric chains REPS applications inside ONE jitted ``lax.scan`` (output
+threaded into the next input) and divides wall time by REPS — real device
+time, no dispatch pipelining artifacts.
+
+Writes ``benchmarks/results.json`` and prints one line per metric.
+``python bench.py`` at the repo root remains the single-line headline the
+driver records; this suite is the broader perf story.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import nf_tpu.models as models
+from nf_tpu.ops import splines
+
+RESULTS = {}
+
+
+def record(name, value, unit, **extra):
+    RESULTS[name] = dict(value=round(value, 2), unit=unit, **extra)
+    print(f"{name:40s} {value:14.1f} {unit}", flush=True)
+
+
+def timed_chain(make_body, x0, reps):
+    """Compile scan(body, x0, length=reps); return seconds per application."""
+
+    @jax.jit
+    def chain(x):
+        return lax.scan(lambda c, _: (make_body(c), None), x, None,
+                        length=reps)[0]
+
+    r = chain(x0)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = chain(x0)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_realnvp_roundtrip(batch=1 << 16, K=16, hidden=128, reps=32):
+    key = jax.random.PRNGKey(0)
+    model = models.build_realnvp(key, dim=2, K=K, hidden=[hidden, hidden])
+
+    def body(x):
+        z, ld_f = model.forward_and_log_det(x)
+        x2, ld_i = model.inverse_and_log_det(z)
+        return x2 + 1e-12 * (ld_f + ld_i)[:, None]
+
+    dt = timed_chain(body, jax.random.normal(key, (batch, 2)), reps)
+    record("realnvp_k16_roundtrip", batch / dt, "samples/s")
+
+
+def bench_spline(n=1 << 21, K=8, reps=16):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    uw = jax.random.normal(ks[1], (n, K))
+    uh = jax.random.normal(ks[2], (n, K))
+    ud = jax.random.normal(ks[3], (n, K - 1))
+
+    for name, use_pallas, r in [("rqs_spline_pallas", True, reps),
+                                ("rqs_spline_dense_xla", False, 4)]:
+        def body(x):
+            y, ld = splines.unconstrained_rational_quadratic_spline(
+                x, uw, uh, ud, tails="linear", tail_bound=2.5,
+                use_pallas=use_pallas)
+            return jnp.clip(y + ld * 1e-9, -3.0, 3.0)
+
+        dt = timed_chain(body, jax.random.normal(ks[0], (n,)) * 3, r)
+        record(name, n / dt / 1e9, "Gelem/s", elements=n, num_bins=K)
+
+
+def bench_nsf_sample_logprob(batch=1 << 14, K=8, hidden=128, reps=8):
+    key = jax.random.PRNGKey(0)
+    model = models.build_nsf(key, dim=2, K=K, hidden=hidden, num_bins=8)
+
+    def body(x):
+        lp = model.log_prob(x)
+        return x + 1e-12 * lp[:, None]
+
+    dt = timed_chain(body, jax.random.normal(key, (batch, 2)), reps)
+    record("nsf_k8_log_prob", batch / dt, "evals/s")
+
+
+def bench_maf_logprob(batch=1 << 14, K=8, hidden=128, reps=8):
+    key = jax.random.PRNGKey(0)
+    model = models.build_maf(key, dim=8, K=K, hidden=hidden)
+
+    def body(x):
+        lp = model.log_prob(x)
+        return x + 1e-12 * lp[:, None]
+
+    dt = timed_chain(body, jax.random.normal(key, (batch, 8)), reps)
+    record("maf_k8_log_prob", batch / dt, "evals/s")
+
+
+def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4):
+    import optax
+
+    from nf_tpu.parallel import init_train_state, make_forward_kld_step
+
+    key = jax.random.PRNGKey(0)
+    model = models.build_glow_multiscale(key, input_shape=(3, 32, 32),
+                                         L=L, K=K, hidden_channels=hidden)
+    x = jax.random.uniform(key, (batch, 3, 32, 32), minval=0.01,
+                           maxval=0.99)
+    y = jnp.zeros((batch,), jnp.int32)
+    model = model.init_from_data(x, y)
+    opt = optax.adamax(1e-3)
+    state, static = init_train_state(model, opt)
+    step = make_forward_kld_step(static, opt)
+
+    state, loss = step(state, (x, y))   # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, loss = step(state, (x, y))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / reps
+    record("glow_l2_k8_train_step", batch / dt, "images/s",
+           loss=float(loss))
+
+
+def main():
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    bench_realnvp_roundtrip()
+    bench_spline()
+    bench_nsf_sample_logprob()
+    bench_maf_logprob()
+    bench_glow_step()
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    with open(out, "w") as f:
+        json.dump({"backend": jax.default_backend(),
+                   "device": str(jax.devices()[0]),
+                   "metrics": RESULTS}, f, indent=2)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,10 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import nf_tpu.flows as nff
-from nf_tpu import core
-from nf_tpu.distributions import DiagGaussian
-from nf_tpu.nets import LipschitzMLP
+import nf_tpu.models as models
 from nf_tpu.utils.optim import update_lipschitz
 
 from _utils import base_parser, out_path, plot_density, train
@@ -30,27 +27,13 @@ def make_moons(key, n, noise=0.1):
     return pts * 2.0 + noise * jax.random.normal(k3, (n, 2))
 
 
-def build_residual(key, dim=2, K=8, hidden=64, n_hidden=3,
-                   lipschitz_const=0.9):
-    keys = jax.random.split(key, K)
-    flows = []
-    for i in range(K):
-        net = LipschitzMLP.create(
-            keys[i], [dim] + [hidden] * n_hidden + [dim],
-            lipschitz_const=lipschitz_const)
-        flows.append(nff.Residual.create(net, reduce_memory=False))
-        flows.append(nff.ActNorm.create(dim))
-    q0 = DiagGaussian.create(dim, trainable=False)
-    return core.NormalizingFlow.create(q0, flows)
-
-
 def main():
     p = base_parser(__doc__, iters=500, lr=3e-3, num_samples=512)
     p.add_argument("--K", type=int, default=8)
     p.add_argument("--hidden", type=int, default=64)
     args = p.parse_args()
     key = jax.random.PRNGKey(args.seed)
-    model = build_residual(key, K=args.K, hidden=args.hidden)
+    model = models.build_residual(key, K=args.K, hidden=args.hidden)
     key, sub = jax.random.split(key)
     model = model.init_from_data(make_moons(sub, 512))
 

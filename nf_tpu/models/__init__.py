@@ -10,4 +10,5 @@ from .builders import (
     build_planar_stack,
     build_radial_stack,
     build_realnvp,
+    build_residual,
 )

@@ -115,6 +115,27 @@ def build_maf(key, dim=2, K=8, hidden=64, num_blocks=2, target=None):
     return core.NormalizingFlow.create(q0, flows, p=target)
 
 
+def build_residual(key, dim=2, K=16, hidden=128, n_hidden_layers=3,
+                   lipschitz_const=0.9, reduce_memory=False, target=None,
+                   actnorm=True):
+    """Residual flow: iResBlocks over Lipschitz MLPs with ActNorm
+    (reference ``examples/residual.ipynb`` cell 1: K=16, 128x3 net, L=0.9).
+    Call ``nf_tpu.utils.optim.update_lipschitz`` after each training step."""
+    from ..nets import LipschitzMLP
+
+    keys = jax.random.split(key, K)
+    flows = []
+    for i in range(K):
+        net = LipschitzMLP.create(
+            keys[i], [dim] + [hidden] * n_hidden_layers + [dim],
+            lipschitz_const=lipschitz_const)
+        flows.append(nff.Residual.create(net, reduce_memory=reduce_memory))
+        if actnorm:
+            flows.append(nff.ActNorm.create(dim))
+    q0 = dist.DiagGaussian.create(dim, trainable=False)
+    return core.NormalizingFlow.create(q0, flows, p=target)
+
+
 def build_glow_multiscale(key, input_shape=(3, 32, 32), L=3, K=16,
                           hidden_channels=256, num_classes=10,
                           class_cond=True, split_mode="channel",
