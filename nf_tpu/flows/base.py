@@ -178,3 +178,35 @@ class Scanned(Flow):
 
     def inverse(self, z, context=None, key=None):
         return self._scan(z, context, key, inverse=True)
+
+    def _unstack(self):
+        leaves, treedef = jax.tree_util.tree_flatten(self.stacked)
+        return [jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
+                for i in range(self.num_layers)], treedef
+
+    def _init_data(self, z, context, key, inverse):
+        """Data-dependent init is a one-time eager pre-pass, so unrolling
+        the K layers in Python here is fine (the compiled path stays a
+        scan)."""
+        layers, _ = self._unstack()
+        keys = _split_keys(key, self.num_layers)
+        total = zero_log_det_like_z(z)
+        order = (reversed(range(self.num_layers)) if inverse
+                 else range(self.num_layers))
+        for i in order:
+            k = keys[i] if keys is not None else None
+            if inverse:
+                layers[i], z, ld = layers[i].init_data_inverse(
+                    z, context=context, key=k)
+            else:
+                layers[i], z, ld = layers[i].init_data_forward(
+                    z, context=context, key=k)
+            total = total + ld
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+        return self.replace(stacked=stacked), z, total
+
+    def init_data_forward(self, z, context=None, key=None):
+        return self._init_data(z, context, key, inverse=False)
+
+    def init_data_inverse(self, z, context=None, key=None):
+        return self._init_data(z, context, key, inverse=True)

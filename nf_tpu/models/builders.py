@@ -22,10 +22,15 @@ from ..utils.masks import create_alternating_binary_mask
 
 
 def build_realnvp(key, dim=2, K=64, hidden=None, target=None,
-                  trainable_base=False, dtype=jnp.float32):
+                  trainable_base=False, scan=False, dtype=jnp.float32):
     """Real NVP stack: MaskedAffineFlow + ActNorm pairs
     (reference ``examples/real_nvp.ipynb`` cell 2: K=64, MLP [2,64,64,2],
-    zero-init last layer)."""
+    zero-init last layer).
+
+    ``scan=True`` stacks the K/2 structurally identical
+    (even-mask coupling, ActNorm, odd-mask coupling, ActNorm) units into one
+    ``lax.scan`` (``flows.Scanned``): a single traced layer body instead of
+    a K-deep unrolled graph — much faster XLA compiles for large K."""
     hidden = hidden or [dim * 32, dim * 32]
     keys = jax.random.split(key, 2 * K)
     layers = [dim] + list(hidden) + [dim]
@@ -37,6 +42,12 @@ def build_realnvp(key, dim=2, K=64, hidden=None, target=None,
         t = MLP.create(keys[2 * i + 1], layers, init_zeros=True, dtype=dtype)
         flows.append(nff.MaskedAffineFlow.create(b, t=t, s=s))
         flows.append(nff.ActNorm.create(dim, dtype=dtype))
+    if scan:
+        if K % 2 != 0:
+            raise ValueError("scan=True needs an even K")
+        units = [nff.Composite(flows=tuple(flows[4 * i:4 * i + 4]))
+                 for i in range(K // 2)]
+        flows = [nff.Scanned.create(units)]
     q0 = dist.DiagGaussian.create(dim, trainable=trainable_base, dtype=dtype)
     return core.NormalizingFlow.create(q0, flows,
                                        p=target or dist.TwoModes())

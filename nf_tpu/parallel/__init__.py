@@ -9,6 +9,7 @@ partitioner's defaults.
 """
 
 from .mesh import data_sharding, make_mesh, replicated
+from .sampling import log_normalizer, make_sharded_sampler
 from .train import (
     TrainState,
     init_train_state,
