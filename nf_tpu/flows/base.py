@@ -136,15 +136,19 @@ class Scanned(Flow):
 
     stacked: Flow  # leaves carry a leading K axis
     num_layers: int = static_field()
+    remat: bool = static_field(default=False)
 
     @classmethod
-    def create(cls, flows):
+    def create(cls, flows, remat=False):
+        """``remat=True`` wraps the scan body in ``jax.checkpoint`` so
+        activations of the K layers are recomputed in the backward pass
+        instead of held in HBM — the memory lever for deep stacks."""
         flows = list(flows)
         treedefs = {jax.tree_util.tree_structure(f) for f in flows}
         if len(treedefs) != 1:
             raise ValueError("Scanned requires structurally identical flows.")
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *flows)
-        return cls(stacked=stacked, num_layers=len(flows))
+        return cls(stacked=stacked, num_layers=len(flows), remat=remat)
 
     def _scan(self, z, context, key, inverse):
         leaves, treedef = jax.tree_util.tree_flatten(self.stacked)
@@ -169,6 +173,8 @@ class Scanned(Flow):
         if inverse:
             leaves = [jnp.flip(l, axis=0) for l in leaves]
             keys = jnp.flip(keys, axis=0)
+        if self.remat:
+            body = jax.checkpoint(body)
         init = (z, zero_log_det_like_z(z))
         (z, log_det), _ = jax.lax.scan(body, init, (leaves, keys))
         return z, log_det

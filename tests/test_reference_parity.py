@@ -1,0 +1,201 @@
+"""Behavioral parity against the reference PyTorch implementation:
+instantiate the reference layer, copy its weights into ours, and compare
+forward/inverse outputs and log-dets on identical inputs.
+
+Skipped when the reference checkout is absent.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nf_tpu.flows as nff
+from nf_tpu.nets import MLP
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"),
+    reason="reference checkout not available")
+
+
+@pytest.fixture(scope="module")
+def nf_ref():
+    import sys
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import normflows as nf
+    return nf
+
+
+def _t2j(t):
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+def _copy_mlp(torch_mlp, jax_mlp):
+    """Copy torch nn.Sequential-of-Linear weights into our MLP pytree."""
+    import torch
+
+    torch_linears = [m for m in torch_mlp.net
+                     if isinstance(m, torch.nn.Linear)]
+    assert len(torch_linears) == len(jax_mlp.linears)
+    new = tuple(
+        l.replace(weight=_t2j(tl.weight),
+                  bias=None if tl.bias is None else _t2j(tl.bias))
+        for l, tl in zip(jax_mlp.linears, torch_linears))
+    return jax_mlp.replace(linears=new)
+
+
+def test_masked_affine_flow_parity(nf_ref):
+    import torch
+
+    torch.manual_seed(0)
+    b_np = np.asarray([1.0, 0.0, 1.0], np.float32)
+    s_t = nf_ref.nets.MLP([3, 16, 3])
+    t_t = nf_ref.nets.MLP([3, 16, 3])
+    ref = nf_ref.flows.MaskedAffineFlow(torch.tensor(b_np), t_t, s_t)
+
+    key = jax.random.PRNGKey(0)
+    s_j = _copy_mlp(s_t, MLP.create(key, [3, 16, 3]))
+    t_j = _copy_mlp(t_t, MLP.create(key, [3, 16, 3]))
+    ours = nff.MaskedAffineFlow.create(jnp.asarray(b_np), t=t_j, s=s_j)
+
+    x_np = np.random.RandomState(1).randn(7, 3).astype(np.float32)
+    zr, ldr = ref.forward(torch.tensor(x_np))
+    zj, ldj = ours.forward(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                               atol=1e-5)
+    xr, lir = ref.inverse(torch.tensor(x_np))
+    xj, lij = ours.inverse(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(xj), xr.detach().numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lij), lir.detach().numpy(),
+                               atol=1e-5)
+
+
+def test_actnorm_parity_including_data_dep_init(nf_ref):
+    import torch
+
+    ref = nf_ref.flows.ActNorm((3,))
+    ours = nff.ActNorm.create(3)
+
+    x_np = np.random.RandomState(2).randn(64, 3).astype(np.float32) * 2 + 1
+    # reference initializes on the first forward call
+    zr, ldr = ref.forward(torch.tensor(x_np))
+    ours, zj, ldj = ours.init_data_forward(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                               atol=1e-4)
+    # post-init both directions agree on new data
+    y_np = np.random.RandomState(3).randn(16, 3).astype(np.float32)
+    zr, ldr = ref.forward(torch.tensor(y_np))
+    zj, ldj = ours.forward(jnp.asarray(y_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                               atol=1e-5)
+
+
+def test_invertible_1x1_conv_lu_parity(nf_ref):
+    import torch
+
+    torch.manual_seed(0)
+    ref = nf_ref.flows.Invertible1x1Conv(4, use_lu=True)
+    ours = nff.Invertible1x1Conv.create(jax.random.PRNGKey(0), 4,
+                                        use_lu=True)
+    ours = ours.replace(P=_t2j(ref.P), L=_t2j(ref.L), U=_t2j(ref.U),
+                        sign_S=_t2j(ref.sign_S), log_S=_t2j(ref.log_S))
+
+    x_np = np.random.RandomState(4).randn(2, 4, 5, 5).astype(np.float32)
+    zr, ldr = ref.forward(torch.tensor(x_np))
+    zj, ldj = ours.forward(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ldj),
+                               np.broadcast_to(ldr.detach().numpy(), (2,)),
+                               atol=1e-4)
+    zr, ldr = ref.inverse(torch.tensor(x_np))
+    zj, ldj = ours.inverse(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ldj),
+                               np.broadcast_to(ldr.detach().numpy(), (2,)),
+                               atol=1e-4)
+
+
+def _copy_masked_linear(tl, jl):
+    np.testing.assert_array_equal(np.asarray(jl.mask),
+                                  tl.mask.detach().numpy())
+    return jl.replace(weight=_t2j(tl.weight), bias=_t2j(tl.bias))
+
+
+def test_maf_made_parity(nf_ref):
+    """Copy a full reference MADE into ours and compare the MAF layer."""
+    import torch
+
+    torch.manual_seed(0)
+    ref = nf_ref.flows.MaskedAffineAutoregressive(
+        features=4, hidden_features=16, num_blocks=2)
+    ours = nff.MaskedAffineAutoregressive.create(
+        jax.random.PRNGKey(0), features=4, hidden_features=16, num_blocks=2)
+
+    rnet, jnet = ref.autoregressive_net, ours.autoregressive_net
+    initial = _copy_masked_linear(rnet.initial_layer, jnet.initial_layer)
+    blocks = []
+    for rb, jb in zip(rnet.blocks, jnet.blocks):
+        linears = tuple(_copy_masked_linear(rl, jl) for rl, jl in
+                        zip(rb.linear_layers, jb.linears))
+        blocks.append(jb.replace(linears=linears))
+    final = _copy_masked_linear(rnet.final_layer, jnet.final_layer)
+    jnet = jnet.replace(initial_layer=initial, blocks=tuple(blocks),
+                        final_layer=final)
+    ours = ours.replace(autoregressive_net=jnet)
+
+    x_np = np.random.RandomState(5).randn(6, 4).astype(np.float32)
+    zr, ldr = ref.forward(torch.tensor(x_np))
+    zj, ldj = ours.forward(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                               atol=1e-5)
+    # D-pass sequential inverse
+    zr, ldr = ref.inverse(torch.tensor(x_np))
+    zj, ldj = ours.inverse(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                               atol=1e-4)
+
+
+def test_diag_gaussian_log_prob_parity(nf_ref):
+    import torch
+
+    from nf_tpu.distributions import DiagGaussian
+
+    ref = nf_ref.distributions.DiagGaussian(3, trainable=False)
+    ours = DiagGaussian.create(3, trainable=False)
+    x_np = np.random.RandomState(6).randn(10, 3).astype(np.float32)
+    lr = ref.log_prob(torch.tensor(x_np))
+    lj = ours.log_prob(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(lj), lr.detach().numpy(),
+                               atol=1e-5)
+
+
+def test_planar_parity(nf_ref):
+    import torch
+
+    torch.manual_seed(0)
+    ref = nf_ref.flows.Planar((3,), act="tanh")
+    ours = nff.Planar.create(jax.random.PRNGKey(0), (3,), act="tanh")
+    ours = ours.replace(u=_t2j(ref.u), w=_t2j(ref.w), b=_t2j(ref.b))
+    x_np = np.random.RandomState(7).randn(5, 3).astype(np.float32)
+    zr, ldr = ref.forward(torch.tensor(x_np))
+    zj, ldj = ours.forward(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                               atol=1e-5)

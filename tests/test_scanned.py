@@ -62,3 +62,29 @@ def test_scanned_gradients_match():
     n0 = jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(g0)))
     n1 = jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(g1)))
     np.testing.assert_allclose(float(n1), float(n0), rtol=1e-4)
+
+
+def test_scanned_remat_matches():
+    """remat=True recomputes activations in backward; results identical."""
+    import nf_tpu.flows as nff
+    from nf_tpu.utils.module import combine, partition
+
+    m0, _ = _models()
+    stack = models.build_realnvp(KEY, dim=2, K=8, hidden=[16, 16],
+                                 scan=True)
+    scanned = stack.flows[0]
+    rem = stack.replace(flows=(scanned.replace(remat=True),))
+    x = jax.random.normal(KEY, (64, 2))
+
+    def loss(params, static):
+        return combine(params, static).forward_kld(x)
+
+    p0, s0 = partition(stack)
+    p1, s1 = partition(rem)
+    np.testing.assert_allclose(float(loss(p1, s1)), float(loss(p0, s0)),
+                               atol=1e-6)
+    g0 = jax.grad(loss)(p0, s0)
+    g1 = jax.grad(loss)(p1, s1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
