@@ -199,3 +199,102 @@ def test_planar_parity(nf_ref):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
                                atol=1e-5)
+
+
+def _copy_convnet(torch_net, jax_net):
+    import torch
+
+    tconvs = [m for m in torch_net.net if isinstance(m, torch.nn.Conv2d)]
+    assert len(tconvs) == len(jax_net.convs)
+    convs = tuple(
+        c.replace(weight=_t2j(tc.weight),
+                  bias=None if tc.bias is None else _t2j(tc.bias))
+        for c, tc in zip(jax_net.convs, tconvs))
+    return jax_net.replace(convs=convs)
+
+
+def test_glow_block_parity(nf_ref):
+    """Full GlowBlock (coupling w/ ConvNet2d + LU 1x1 conv + ActNorm):
+    copy every weight, run the reference's first-batch init on both sides,
+    compare fwd/inv + log-dets."""
+    import torch
+
+    torch.manual_seed(0)
+    C, H = 4, 6
+    ref = nf_ref.flows.GlowBlock(C, 16, scale=True, split_mode="channel",
+                                 use_lu=True)
+    ours = nff.GlowBlock.create(jax.random.PRNGKey(0), C, 16, scale=True,
+                                split_mode="channel", use_lu=True)
+
+    # ref.flows = [AffineCouplingBlock, Invertible1x1Conv, ActNorm]
+    rcb, rconv = ref.flows[0], ref.flows[1]
+    jcb, jconv, jact = ours.flows
+    param_map = _copy_convnet(rcb.flows[1].param_map, jcb.coupling.param_map)
+    jcb = jcb.replace(coupling=jcb.coupling.replace(param_map=param_map))
+    jconv = jconv.replace(P=_t2j(rconv.P), L=_t2j(rconv.L),
+                          U=_t2j(rconv.U), sign_S=_t2j(rconv.sign_S),
+                          log_S=_t2j(rconv.log_S))
+    ours = ours.replace(flows=(jcb, jconv, jact))
+
+    x_np = np.random.RandomState(8).randn(3, C, H, H).astype(np.float32)
+    zr, ldr = ref.forward(torch.tensor(x_np))        # inits ref ActNorm
+    ours, zj, ldj = ours.init_data_forward(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                               atol=1e-3)
+    y_np = np.random.RandomState(9).randn(3, C, H, H).astype(np.float32)
+    for direction in ("forward", "inverse"):
+        zr, ldr = getattr(ref, direction)(torch.tensor(y_np))
+        zj, ldj = getattr(ours, direction)(jnp.asarray(y_np))
+        np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                                   atol=1e-4, err_msg=direction)
+        np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                                   atol=1e-3, err_msg=direction)
+
+
+def _copy_residual_net(torch_net, jax_net):
+    initial = jax_net.initial_layer.replace(
+        weight=_t2j(torch_net.initial_layer.weight),
+        bias=_t2j(torch_net.initial_layer.bias))
+    blocks = []
+    for rb, jb in zip(torch_net.blocks, jax_net.blocks):
+        linears = tuple(
+            jl.replace(weight=_t2j(rl.weight), bias=_t2j(rl.bias))
+            for rl, jl in zip(rb.linear_layers, jb.linears))
+        blocks.append(jb.replace(linears=linears))
+    final = jax_net.final_layer.replace(
+        weight=_t2j(torch_net.final_layer.weight),
+        bias=_t2j(torch_net.final_layer.bias))
+    return jax_net.replace(initial_layer=initial, blocks=tuple(blocks),
+                           final_layer=final)
+
+
+def test_coupled_rqs_wrapper_parity(nf_ref):
+    """CoupledRationalQuadraticSpline: copy the ResidualNet conditioner and
+    compare the full spline coupling both directions (exercises mask
+    construction, param reshaping, and the spline kernel semantics)."""
+    import torch
+
+    torch.manual_seed(0)
+    D, K = 4, 5
+    ref = nf_ref.flows.CoupledRationalQuadraticSpline(
+        num_input_channels=D, num_blocks=2, num_hidden_channels=16,
+        num_bins=K, tails="linear", tail_bound=3.0)
+    ours = nff.CoupledRationalQuadraticSpline.create(
+        jax.random.PRNGKey(0), num_input_channels=D, num_blocks=2,
+        num_hidden_channels=16, num_bins=K, tail_bound=3.0)
+
+    rnet = ref.prqct.transform_net
+    jnet = ours.prqct.transform_net
+    ours = ours.replace(prqct=ours.prqct.replace(
+        transform_net=_copy_residual_net(rnet, jnet)))
+
+    x_np = np.random.RandomState(10).randn(6, D).astype(np.float32) * 2
+    for direction in ("forward", "inverse"):
+        zr, ldr = getattr(ref, direction)(torch.tensor(x_np))
+        zj, ldj = getattr(ours, direction)(jnp.asarray(x_np))
+        np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                                   atol=1e-4, err_msg=direction)
+        np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                                   atol=1e-4, err_msg=direction)
