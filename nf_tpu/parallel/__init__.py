@@ -10,6 +10,7 @@ partitioner's defaults.
 
 from .mesh import data_sharding, make_mesh, replicated
 from .sampling import log_normalizer, make_sharded_sampler
+from .tp import param_shardings, shard_params
 from .train import (
     TrainState,
     init_train_state,

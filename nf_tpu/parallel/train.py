@@ -58,12 +58,17 @@ def shard_batch(mesh: Mesh, batch):
 
 def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
                           loss_fn: Optional[Callable] = None,
-                          donate: bool = False):
+                          donate: bool = False, state_shardings=None):
     """Build a jitted data-parallel MLE step.
 
     ``loss_fn(model, batch) -> scalar`` defaults to ``model.forward_kld(x)``
     with ``batch`` either an array ``x`` or a ``(x, y)`` tuple (class-
     conditional models).  Returns ``step(state, batch) -> (state, loss)``.
+
+    ``state_shardings``: optional pytree of ``NamedSharding`` for the
+    ``TrainState`` (see ``parallel.tp.param_shardings``) — enables
+    tensor-parallel / FSDP-style parameter layouts on top of the
+    data-parallel batch; the SPMD partitioner inserts the collectives.
     """
     if loss_fn is None:
         def loss_fn(model, batch):
@@ -87,8 +92,9 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
     if mesh is None:
         return jax.jit(step, **donate_kw)
     repl = replicated(mesh)
-    return jax.jit(step, in_shardings=(repl, data_sharding(mesh, 1)),
-                   out_shardings=(repl, repl), **donate_kw)
+    state_sh = state_shardings if state_shardings is not None else repl
+    return jax.jit(step, in_shardings=(state_sh, data_sharding(mesh, 1)),
+                   out_shardings=(state_sh, repl), **donate_kw)
 
 
 def _apply_updates(params, updates):
