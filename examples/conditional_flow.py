@@ -8,25 +8,10 @@ import _bootstrap  # noqa: F401  (repo root on sys.path)
 import jax
 import jax.numpy as jnp
 
-import nf_tpu.flows as nff
-from nf_tpu import core
-from nf_tpu.distributions import ConditionalDiagGaussianTarget, DiagGaussian
+import nf_tpu.models as models
+from nf_tpu.distributions import ConditionalDiagGaussianTarget
 
 from _utils import base_parser, train
-
-
-def build_conditional_nsf(key, dim=2, context_size=4, K=4, hidden=64,
-                          num_bins=8, target=None):
-    keys = jax.random.split(key, 2 * K)
-    flows = []
-    for i in range(K):
-        flows.append(nff.CoupledRationalQuadraticSpline.create(
-            keys[2 * i], num_input_channels=dim, num_blocks=2,
-            num_hidden_channels=hidden, num_context_channels=context_size,
-            num_bins=num_bins, reverse_mask=(i % 2 == 1)))
-        flows.append(nff.LULinearPermute.create(keys[2 * i + 1], dim))
-    q0 = DiagGaussian.create(dim, trainable=False)
-    return core.ConditionalNormalizingFlow.create(q0, flows, p=target)
 
 
 def main():
@@ -34,7 +19,7 @@ def main():
                        num_samples=512).parse_args()
     key = jax.random.PRNGKey(args.seed)
     target = ConditionalDiagGaussianTarget()
-    model = build_conditional_nsf(key, target=target)
+    model = models.build_conditional_nsf(key, target=target)
 
     def sample_context(key, n):
         k1, k2 = jax.random.split(key)

@@ -41,6 +41,8 @@ def main():
     p.add_argument("--K", type=int, default=4)
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--scan", action="store_true",
+                   help="lax.scan the K GlowBlocks per level (faster compile + step)")
     args = p.parse_args()
     key = jax.random.PRNGKey(args.seed)
 
@@ -56,7 +58,8 @@ def main():
     key, sub = jax.random.split(key)
     model = models.build_glow_multiscale(
         sub, input_shape=x_all.shape[1:], L=args.L, K=args.K,
-        hidden_channels=args.hidden, num_classes=10, class_cond=True)
+        hidden_channels=args.hidden, num_classes=10, class_cond=True,
+        scan=args.scan)
 
     def get_batch(key):
         k1, k2 = jax.random.split(key)

@@ -4,6 +4,7 @@ circular NSF, Glow multiscale, residual flows, SNF chains."""
 
 from .builders import (
     build_circular_nsf,
+    build_conditional_nsf,
     build_glow_multiscale,
     build_maf,
     build_nsf,

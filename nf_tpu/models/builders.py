@@ -113,6 +113,23 @@ def build_circular_nsf(key, dim=2, ind_circ=(0,), K=12, hidden=512,
     return core.NormalizingFlow.create(q0, flows, p=target)
 
 
+def build_conditional_nsf(key, dim=2, context_size=4, K=4, hidden=64,
+                          num_bins=8, num_blocks=2, target=None):
+    """Conditional coupled-RQS NSF q(x|c): context threads into every
+    conditioner and the model container
+    (reference ``examples/conditional_flow.ipynb``)."""
+    keys = jax.random.split(key, 2 * K)
+    flows = []
+    for i in range(K):
+        flows.append(nff.CoupledRationalQuadraticSpline.create(
+            keys[2 * i], num_input_channels=dim, num_blocks=num_blocks,
+            num_hidden_channels=hidden, num_context_channels=context_size,
+            num_bins=num_bins, reverse_mask=(i % 2 == 1)))
+        flows.append(nff.LULinearPermute.create(keys[2 * i + 1], dim))
+    q0 = dist.DiagGaussian.create(dim, trainable=False)
+    return core.ConditionalNormalizingFlow.create(q0, flows, p=target)
+
+
 def build_maf(key, dim=2, K=8, hidden=64, num_blocks=2, target=None):
     """Masked autoregressive flow stack with permutations."""
     keys = jax.random.split(key, 2 * K)
@@ -151,19 +168,26 @@ def build_glow_multiscale(key, input_shape=(3, 32, 32), L=3, K=16,
                           hidden_channels=256, num_classes=10,
                           class_cond=True, split_mode="channel",
                           scale=True, use_lu=True, logit_alpha=0.05,
-                          dtype=jnp.float32):
+                          scan=False, remat=False, dtype=jnp.float32):
     """Multi-scale Glow (reference ``examples/glow.ipynb`` cell 2: L=3,
-    K=16, hidden 256, class-conditional base, Logit transform)."""
+    K=16, hidden 256, class-conditional base, Logit transform).
+
+    ``scan=True`` packs each level's K structurally identical GlowBlocks
+    into one ``lax.scan`` (single traced block body — much faster compiles
+    at L=3 x K=16); ``remat=True`` additionally recomputes block
+    activations in the backward pass (HBM for FLOPs)."""
     C, H, W = input_shape
     keys = jax.random.split(key, L * K)
     q0, flows, merges = [], [], []
     ki = 0
     for i in range(L):
         ch = C * 2 ** (L + 1 - i)
-        flows_ = [nff.GlowBlock.create(keys[ki + j], ch, hidden_channels,
+        blocks = [nff.GlowBlock.create(keys[ki + j], ch, hidden_channels,
                                        scale=scale, split_mode=split_mode,
                                        use_lu=use_lu, dtype=dtype)
                   for j in range(K)]
+        flows_ = ([nff.Scanned.create(blocks, remat=remat)] if scan
+                  else blocks)
         ki += K
         flows_.append(nff.Squeeze())
         flows.append(flows_)

@@ -88,3 +88,19 @@ def test_scanned_remat_matches():
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_scanned_glow_matches_unrolled():
+    """Each level's K GlowBlocks packed into one lax.scan: same density."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (8, 3, 8, 8), minval=0.01, maxval=0.99)
+    y = jnp.zeros((8,), jnp.int32)
+    m0 = models.build_glow_multiscale(key, input_shape=(3, 8, 8), L=2, K=4,
+                                      hidden_channels=16, scan=False)
+    m1 = models.build_glow_multiscale(key, input_shape=(3, 8, 8), L=2, K=4,
+                                      hidden_channels=16, scan=True)
+    m0 = m0.init_from_data(x, y)
+    m1 = m1.init_from_data(x, y)
+    l0 = np.asarray(m0.log_prob(x, y))
+    l1 = np.asarray(m1.log_prob(x, y))
+    np.testing.assert_allclose(l1, l0, rtol=1e-4, atol=1e-2)
