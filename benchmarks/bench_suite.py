@@ -111,7 +111,8 @@ def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4):
 
     key = jax.random.PRNGKey(0)
     model = models.build_glow_multiscale(key, input_shape=(3, 32, 32),
-                                         L=L, K=K, hidden_channels=hidden)
+                                         L=L, K=K, hidden_channels=hidden,
+                                         scan=True)
     x = jax.random.uniform(key, (batch, 3, 32, 32), minval=0.01,
                            maxval=0.99)
     y = jnp.zeros((batch,), jnp.int32)

@@ -17,6 +17,7 @@ from .module import (
     tree_size,
 )
 from .config import TrainConfig
+from .debug import checked, debug_nans
 from .logging import MetricLogger, effective_sample_size, mcmc_acceptance_rate
 from .optim import lipschitz_scales, update_lipschitz
 from .profiling import Named, throughput, trace

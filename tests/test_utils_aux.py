@@ -110,3 +110,34 @@ def test_tile_and_sum_except_batch():
     x = jnp.ones((3, 4, 5))
     np.testing.assert_array_equal(np.asarray(sum_except_batch(x)),
                                   20 * np.ones(3))
+
+
+def test_checked_catches_nan():
+    import jax
+    import jax.numpy as jnp
+
+    from nf_tpu.utils import checked
+
+    def bad(x):
+        return jnp.log(x).sum()
+
+    f = jax.jit(checked(bad))
+    out, err = f(jnp.asarray([1.0, 2.0]))
+    err.throw()  # clean input: no error
+    out, err = f(jnp.asarray([-1.0, 2.0]))
+    try:
+        err.throw()
+        raise AssertionError("expected checkify error")
+    except Exception as e:
+        assert "nan" in str(e).lower()
+
+
+def test_debug_nans_context():
+    import jax
+
+    from nf_tpu.utils import debug_nans
+
+    assert not jax.config.jax_debug_nans
+    with debug_nans():
+        assert jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_nans
