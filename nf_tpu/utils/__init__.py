@@ -22,9 +22,17 @@ from .logging import MetricLogger, effective_sample_size, mcmc_acceptance_rate
 from .optim import lipschitz_scales, update_lipschitz
 from .profiling import Named, throughput, trace
 from .serialization import CheckpointManager, load, save
+from .eval import bits_per_dim, bits_per_dim_dataset
 from .nn import (
+    ClampExp,
+    ConstScaleLayer,
     PeriodicFeaturesCat,
     PeriodicFeaturesElementwise,
     sum_except_batch,
     tile,
 )
+from .preprocessing import Jitter, Logit as LogitPreprocessing, Scale
+
+# reference-spelling aliases (normflows ``utils.bitsPerDim`` etc.)
+bitsPerDim = bits_per_dim
+bitsPerDimDataset = bits_per_dim_dataset

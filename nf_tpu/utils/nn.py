@@ -98,3 +98,21 @@ class PeriodicFeaturesCat(Module):
         return jnp.concatenate(
             [jnp.sin(x), jnp.cos(x), inputs[..., self.ind_]], axis=-1
         )
+
+
+class ConstScaleLayer(Module):
+    """Multiply by a fixed constant (reference ``utils/nn.py:7-24``)."""
+
+    scale: float = static_field(default=1.0)
+
+    def __call__(self, x):
+        return x * self.scale
+
+
+class ClampExp(Module):
+    """Nonlinearity ``min(exp(lam * x), 1)`` (reference ``utils/nn.py:46-62``)."""
+
+    lam: float = static_field(default=1.0)
+
+    def __call__(self, x):
+        return jnp.minimum(jnp.exp(self.lam * x), 1.0)
