@@ -298,3 +298,85 @@ def test_coupled_rqs_wrapper_parity(nf_ref):
                                    atol=1e-4, err_msg=direction)
         np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
                                    atol=1e-4, err_msg=direction)
+
+
+def test_gaussian_mixture_log_prob_parity(nf_ref):
+    import torch
+
+    from nf_tpu.distributions import GaussianMixture
+
+    loc = np.asarray([[-1.0, 0.5], [1.0, -0.5]], np.float32)
+    scale = np.asarray([[0.5, 1.0], [1.5, 0.7]], np.float32)
+    w = np.asarray([0.3, 0.7], np.float32)
+    ref = nf_ref.distributions.GaussianMixture(
+        2, 2, loc=loc, scale=scale, weights=w)
+    ours = GaussianMixture.create(2, 2, loc=loc, scale=scale, weights=w)
+    x_np = np.random.RandomState(11).randn(20, 2).astype(np.float32)
+    lr = ref.log_prob(torch.tensor(x_np).double())
+    lj = ours.log_prob(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(lj), lr.detach().numpy(),
+                               atol=1e-5)
+
+
+def test_two_modes_target_parity(nf_ref):
+    import torch
+
+    from nf_tpu.distributions import TwoModes
+
+    ref = nf_ref.distributions.TwoModes(2.0, 0.2)
+    ours = TwoModes(loc=2.0, scale=0.2)
+    x_np = np.random.RandomState(12).randn(40, 2).astype(np.float32) * 2
+    lr = ref.log_prob(torch.tensor(x_np))
+    lj = ours.log_prob(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(lj), lr.detach().numpy(),
+                               atol=1e-4)
+
+
+def test_two_moons_target_parity(nf_ref):
+    import torch
+
+    from nf_tpu.distributions import TwoMoons
+
+    ref = nf_ref.distributions.TwoMoons()
+    ours = TwoMoons()
+    x_np = np.random.RandomState(13).randn(40, 2).astype(np.float32) * 2
+    lr = ref.log_prob(torch.tensor(x_np))
+    lj = ours.log_prob(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(lj), lr.detach().numpy(),
+                               atol=1e-4)
+
+
+def test_logit_transform_parity(nf_ref):
+    import torch
+
+    from nf_tpu.transforms import Logit
+
+    ref = nf_ref.transforms.Logit(alpha=0.05)
+    ours = Logit(alpha=0.05)
+    x_np = np.random.RandomState(14).rand(10, 3).astype(np.float32)
+    zr, ldr = ref.inverse(torch.tensor(x_np))
+    zj, ldj = ours.inverse(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(zj), zr.detach().numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldj), ldr.detach().numpy(),
+                               atol=1e-4)
+    yr, lir = ref.forward(zr)
+    yj, lij = ours.forward(zj)
+    np.testing.assert_allclose(np.asarray(yj), yr.detach().numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lij), lir.detach().numpy(),
+                               atol=1e-4)
+
+
+def test_glow_base_parity(nf_ref):
+    import torch
+
+    from nf_tpu.distributions import GlowBase
+
+    ref = nf_ref.distributions.GlowBase((3, 4, 4))
+    ours = GlowBase.create((3, 4, 4))
+    x_np = np.random.RandomState(15).randn(5, 3, 4, 4).astype(np.float32)
+    lr = ref.log_prob(torch.tensor(x_np))
+    lj = ours.log_prob(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(lj), lr.detach().numpy(),
+                               atol=1e-3)
