@@ -35,6 +35,6 @@ from .normalization import ActNorm, BatchNorm
 from .periodic import PeriodicShift, PeriodicWrap
 from .planar import Planar
 from .radial import Radial
-from .residual import Residual, iResBlock
+from .residual import set_exact_logdet, Residual, iResBlock
 from .reshape import Merge, Split, Squeeze
 from .stochastic import HamiltonianMonteCarlo, MetropolisHastings

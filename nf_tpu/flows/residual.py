@@ -278,3 +278,17 @@ class Residual(Flow):
         else:
             z, log_det = self.iresblock.inverse(z, 0.0, key=key)
         return z, -log_det.reshape(-1)
+
+
+def set_exact_logdet(model, exact=True):
+    """Switch every iResBlock to the brute-force 2D Jacobian log-det.
+
+    Mirrors the reference's eval-mode behavior (``residual.py:148-161``:
+    ``not self.training`` with 2D inputs computes the exact determinant), so
+    density plots and final evals are deterministic while training keeps the
+    unbiased stochastic estimator. Only valid for 2-feature flows.
+    """
+    from ..utils.optim import map_modules
+
+    return map_modules(model, iResBlock,
+                       lambda b: b.replace(brute_force=exact))

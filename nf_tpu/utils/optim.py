@@ -53,3 +53,23 @@ def lipschitz_scales(model):
 
     walk(model)
     return scales
+
+
+def map_modules(model, match, fn):
+    """Return a copy of ``model`` with ``fn`` applied to every submodule
+    instance of type ``match`` (generic functional analogue of iterating
+    ``nn.Module.modules()``)."""
+
+    def walk(node):
+        if isinstance(node, match):
+            return fn(node)
+        if isinstance(node, Module):
+            return node.replace(**{
+                name: walk(getattr(node, name)) for name in node._nf_dynamic})
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(model)

@@ -161,3 +161,33 @@ def test_residual_flow_trains():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses[::4]
+
+
+def test_set_exact_logdet_matches_estimator_in_expectation():
+    """Brute-force 2D log-det equals the exact Jacobian; the stochastic
+    estimator's mean over points is close (its unbiasedness check)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import nf_tpu.models as models
+    from nf_tpu.flows import set_exact_logdet
+
+    key = jax.random.PRNGKey(0)
+    model = models.build_residual(key, dim=2, K=2, hidden=16,
+                                  n_hidden_layers=2)
+    exact = set_exact_logdet(model)
+    x = jax.random.normal(key, (512, 2))
+
+    _, ld_exact = exact.inverse_and_log_det(x)
+    # jacfwd ground truth on a few points
+    def true_ld(xi):
+        J = jax.jacfwd(
+            lambda v: exact.inverse_and_log_det(v[None])[0][0])(xi)
+        return jnp.linalg.slogdet(J)[1]
+    lds = jax.vmap(true_ld)(x[:32])
+    np.testing.assert_allclose(np.asarray(ld_exact[:32]), np.asarray(lds),
+                               atol=1e-4)
+
+    _, ld_est = model.inverse_and_log_det(x, key=key)
+    assert abs(float(jnp.mean(ld_est) - jnp.mean(ld_exact))) < 0.15
