@@ -71,6 +71,23 @@ def main():
     print(f"sample-parallel VI: {args.iters} steps in {dt:.1f}s, "
           f"{args.iters * args.num_samples / dt:.0f} samples/s")
 
+    # sharded sampling: HAIS chains split over the mesh
+    import numpy as np
+
+    from nf_tpu.distributions import DiagGaussian
+    from nf_tpu.parallel import log_normalizer, make_sharded_sampler
+    from nf_tpu.sampling import HAIS
+
+    hais = HAIS.create(np.linspace(1.0, 0.0, 17),
+                       DiagGaussian.create(2, trainable=False),
+                       model.p, num_leapfrog=5, step_size=[0.1, 0.1],
+                       log_mass=[0.0, 0.0])
+    sampler = make_sharded_sampler(mesh, num_samples=args.num_samples)
+    key, sub = jax.random.split(key)
+    z, log_w = sampler(hais, sub)
+    print(f"[hais] {args.num_samples} chains over {len(devices)} devices, "
+          f"log Z = {float(log_normalizer(log_w)):+.3f}")
+
     # data-parallel MLE on rejection-sampled TwoMoons data
     from nf_tpu.distributions import TwoMoons
 

@@ -74,3 +74,46 @@ def test_hais_importance_weights():
     assert samples.shape == (2048, 2)
     log_z = float(jax.scipy.special.logsumexp(log_w) - jnp.log(2048.0))
     assert abs(log_z - 1.0) < 0.3, log_z
+
+
+def test_mh_chain_converges_to_target_moments():
+    """Statistical check the reference lacks (it only smoke-tests,
+    reference ``stochastic_test.py:13-39``): many parallel MH chains
+    targeting a standard normal reach its moments."""
+    import jax
+    import jax.numpy as jnp
+
+    from nf_tpu.distributions import DiagGaussian, DiagGaussianProposal
+    from nf_tpu.flows import MetropolisHastings
+
+    target = DiagGaussian.create(2, trainable=False)
+    prop = DiagGaussianProposal.create((2,), 0.5)
+    mh = MetropolisHastings.create(target, prop, steps=200)
+
+    key = jax.random.PRNGKey(0)
+    z0 = 3.0 + jnp.zeros((2048, 2))  # start far off-target
+    z, _ = jax.jit(lambda z, k: mh.forward(z, key=k))(z0,
+                                                      jax.random.fold_in(key, 1))
+    assert abs(float(jnp.mean(z))) < 0.15
+    assert abs(float(jnp.std(z)) - 1.0) < 0.15
+
+
+def test_hmc_chain_converges_to_target_moments():
+    import jax
+    import jax.numpy as jnp
+
+    from nf_tpu.distributions import DiagGaussian
+    from nf_tpu.flows import HamiltonianMonteCarlo
+
+    target = DiagGaussian.create(2, trainable=False)
+    hmc = HamiltonianMonteCarlo.create(
+        target, steps=5, log_step_size=jnp.log(jnp.full((2,), 0.3)),
+        log_mass=jnp.zeros((2,)))
+
+    key = jax.random.PRNGKey(0)
+    z = 3.0 + jnp.zeros((4096, 2))
+    for i in range(30):
+        z, _ = jax.jit(lambda z, k: hmc.forward(z, key=k))(
+            z, jax.random.fold_in(key, i))
+    assert abs(float(jnp.mean(z))) < 0.15
+    assert abs(float(jnp.std(z)) - 1.0) < 0.15
