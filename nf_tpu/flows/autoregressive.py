@@ -33,14 +33,15 @@ class Autoregressive(Flow):
         raise NotImplementedError()
 
     def forward(self, inputs, context=None, key=None):
-        autoregressive_params = self.autoregressive_net(inputs, context)
+        autoregressive_params = self.autoregressive_net(inputs, context,
+                                                        key=key)
         return self._elementwise_forward(inputs, autoregressive_params)
 
     def inverse(self, inputs, context=None, key=None):
         num_inputs = int(np.prod(inputs.shape[1:]))
 
         def body(outputs, _):
-            params = self.autoregressive_net(outputs, context)
+            params = self.autoregressive_net(outputs, context, key=key)
             outputs, logabsdet = self._elementwise_inverse(inputs, params)
             return outputs, logabsdet
 

@@ -68,7 +68,8 @@ class Coupling(Flow):
         identity_split = inputs[:, np.asarray(self.identity_features), ...]
         transform_split = inputs[:, np.asarray(self.transform_features), ...]
 
-        transform_params = self.transform_net(identity_split, context)
+        transform_params = self.transform_net(identity_split, context,
+                                              key=key)
         transform_split, logabsdet = self._coupling_transform_forward(
             transform_split, transform_params)
 
@@ -93,7 +94,8 @@ class Coupling(Flow):
                 self.unconditional_transform.inverse(identity_split,
                                                      context=context)
 
-        transform_params = self.transform_net(identity_split, context)
+        transform_params = self.transform_net(identity_split, context,
+                                              key=key)
         transform_split, logabsdet_split = self._coupling_transform_inverse(
             transform_split, transform_params)
         logabsdet = logabsdet + logabsdet_split

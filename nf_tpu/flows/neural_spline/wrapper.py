@@ -67,11 +67,11 @@ class CoupledRationalQuadraticSpline(Flow):
         return cls(prqct=prqct)
 
     def forward(self, z, context=None, key=None):
-        z, log_det = self.prqct.inverse(z, context=context)
+        z, log_det = self.prqct.inverse(z, context=context, key=key)
         return z, log_det.reshape(-1)
 
     def inverse(self, z, context=None, key=None):
-        z, log_det = self.prqct.forward(z, context=context)
+        z, log_det = self.prqct.forward(z, context=context, key=key)
         return z, log_det.reshape(-1)
 
 
@@ -126,11 +126,11 @@ class CircularCoupledRationalQuadraticSpline(Flow):
         return cls(prqct=prqct)
 
     def forward(self, z, context=None, key=None):
-        z, log_det = self.prqct.inverse(z, context=context)
+        z, log_det = self.prqct.inverse(z, context=context, key=key)
         return z, log_det.reshape(-1)
 
     def inverse(self, z, context=None, key=None):
-        z, log_det = self.prqct.forward(z, context=context)
+        z, log_det = self.prqct.forward(z, context=context, key=key)
         return z, log_det.reshape(-1)
 
 

@@ -36,9 +36,11 @@ class Split(Flow):
 
     def forward(self, z, context=None, key=None):
         if self.mode == "channel":
-            z1, z2 = jnp.split(z, 2, axis=1)
+            # torch.chunk semantics: first chunk gets the extra channel when
+            # the count is odd (reference ``reshape.py:31``)
+            z1, z2 = jnp.split(z, [(z.shape[1] + 1) // 2], axis=1)
         elif self.mode == "channel_inv":
-            z2, z1 = jnp.split(z, 2, axis=1)
+            z2, z1 = jnp.split(z, [(z.shape[1] + 1) // 2], axis=1)
         elif "checkerboard" in self.mode:
             # cb0[idx] = (sum of non-batch indices) % 2; z1 = entries where
             # cb == 1 (cb = cb0, or 1-cb0 for '_inv'), per reference semantics.

@@ -233,7 +233,12 @@ class iResBlock(Module):
         if self.exact_trace:
             return self._exact_trace_series(x)
         if key is None:
-            key = jax.random.PRNGKey(0)
+            raise ValueError(
+                "iResBlock's stochastic log-det estimator needs an RNG key: "
+                "pass key= through log_prob/forward_kld (a silent fixed key "
+                "would reuse the same Hutchinson probe every step and bias "
+                "training). For deterministic 2D evaluation use "
+                "flows.set_exact_logdet(model).")
         if self.grad_in_forward:
             # remat: recompute the vjp chain in the backward pass instead of
             # storing it — the XLA-native analogue of the reference's

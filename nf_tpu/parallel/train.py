@@ -58,12 +58,21 @@ def shard_batch(mesh: Mesh, batch):
 
 def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
                           loss_fn: Optional[Callable] = None,
-                          donate: bool = False, state_shardings=None):
+                          donate: bool = False, state_shardings=None,
+                          with_key: bool = False, post_update=None):
     """Build a jitted data-parallel MLE step.
 
     ``loss_fn(model, batch) -> scalar`` defaults to ``model.forward_kld(x)``
     with ``batch`` either an array ``x`` or a ``(x, y)`` tuple (class-
     conditional models).  Returns ``step(state, batch) -> (state, loss)``.
+
+    ``with_key=True``: the step takes ``(state, batch, key)`` and the loss
+    is ``loss_fn(model, batch, key)`` / ``model.forward_kld(x, key=key)`` —
+    required for models with stochastic log-det estimators (residual
+    flows), which refuse to run keyless.
+
+    ``post_update(model) -> model`` runs inside the step after the
+    optimizer update (e.g. ``update_lipschitz`` for residual flows).
 
     ``state_shardings``: optional pytree of ``NamedSharding`` for the
     ``TrainState`` (see ``parallel.tp.param_shardings``) — enables
@@ -71,30 +80,47 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
     data-parallel batch; the SPMD partitioner inserts the collectives.
     """
     if loss_fn is None:
-        def loss_fn(model, batch):
+        def loss_fn(model, batch, key=None):
+            kw = {"key": key} if key is not None else {}
             if isinstance(batch, (tuple, list)):
-                return model.forward_kld(*batch)
-            return model.forward_kld(batch)
+                return model.forward_kld(*batch, **kw)
+            return model.forward_kld(batch, **kw)
+    else:
+        user_loss = loss_fn
 
-    def step(state: TrainState, batch):
+        def loss_fn(model, batch, key=None):
+            if key is not None:
+                return user_loss(model, batch, key)
+            return user_loss(model, batch)
+
+    def step(state: TrainState, batch, key=None):
         def compute(p):
             model = combine(p, static)
-            return loss_fn(model, batch)
+            return loss_fn(model, batch, key)
 
         loss, grads = jax.value_and_grad(compute)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = _apply_updates(state.params, updates)
+        if post_update is not None:
+            params, _ = partition(post_update(combine(params, static)))
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), loss
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
-        return jax.jit(step, **donate_kw)
-    repl = replicated(mesh)
-    state_sh = state_shardings if state_shardings is not None else repl
-    return jax.jit(step, in_shardings=(state_sh, data_sharding(mesh, 1)),
-                   out_shardings=(state_sh, repl), **donate_kw)
+        jitted = jax.jit(step, **donate_kw)
+    else:
+        repl = replicated(mesh)
+        state_sh = (state_shardings if state_shardings is not None
+                    else repl)
+        in_sh = (state_sh, data_sharding(mesh, 1)) + (
+            (repl,) if with_key else ())
+        jitted = jax.jit(step, in_shardings=in_sh,
+                         out_shardings=(state_sh, repl), **donate_kw)
+    if with_key:
+        return jitted
+    return lambda state, batch: jitted(state, batch)
 
 
 def _apply_updates(params, updates):

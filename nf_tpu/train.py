@@ -71,6 +71,12 @@ def main(argv=None):
     mesh = make_mesh(("data",))
     print(f"mesh: {mesh.shape} on {jax.default_backend()}")
 
+    if cfg.model == "residual" and cfg.loss == "reverse_kld":
+        raise SystemExit(
+            "--model residual requires --loss forward_kld: the reverse-KLD "
+            "gradient cannot differentiate through the iResBlock "
+            "fixed-point inverse (lax.while_loop has no reverse mode).")
+
     key, sub = jax.random.split(key)
     model = build_model(cfg, sub)
     if cfg.loss == "reverse_kld":
@@ -106,10 +112,21 @@ def main(argv=None):
         from .utils.module import combine
 
         target = combine(state.params, static).p
-        mle_step = make_forward_kld_step(static, opt, mesh=mesh)
+        is_residual = cfg.model == "residual"
+        post = None
+        if is_residual:
+            from .utils.optim import update_lipschitz
+
+            post = lambda m: update_lipschitz(m, 50)
+        mle_step = make_forward_kld_step(static, opt, mesh=mesh,
+                                         with_key=is_residual,
+                                         post_update=post)
 
         def run_step(state, key):
-            x = shard_batch(mesh, target.sample(key, cfg.batch_size))
+            k1, k2 = jax.random.split(key)
+            x = shard_batch(mesh, target.sample(k1, cfg.batch_size))
+            if is_residual:
+                return mle_step(state, x, k2)
             return mle_step(state, x)
 
     t0 = time.time()

@@ -12,7 +12,8 @@ from typing import Optional
 
 @dataclasses.dataclass
 class TrainConfig:
-    model: str = "realnvp"  # realnvp | nsf | circular_nsf | maf | glow | residual
+    model: str = "realnvp"  # realnvp | nsf | circular_nsf | maf | residual
+    # (image models: use examples/glow.py — the train binary is 2D-targets)
     target: str = "two_modes"  # two_modes | two_moons | circular_gmm | rings
     loss: str = "reverse_kld"  # reverse_kld | forward_kld
     dim: int = 2
@@ -36,15 +37,18 @@ class TrainConfig:
     def from_args(cls, argv=None):
         parser = argparse.ArgumentParser()
         for f in dataclasses.fields(cls):
-            arg_type = f.type if f.type in (int, float, str) else None
-            if f.type == bool or f.default in (True, False):
-                parser.add_argument(f"--{f.name}", action="store_true"
-                                    if not f.default else "store_false")
-            elif isinstance(f.default, (int, float, str)) or f.default is None:
-                parser.add_argument(
-                    f"--{f.name}",
-                    type=type(f.default) if f.default is not None else str,
-                    default=f.default)
+            # ``from __future__ import annotations`` makes f.type a string;
+            # dispatch on the default's concrete type (bool must be checked
+            # before int: isinstance(True, int) is True, and 0 == False).
+            if isinstance(f.default, bool):
+                parser.add_argument(f"--{f.name}",
+                                    action="store_false" if f.default
+                                    else "store_true")
+            elif isinstance(f.default, (int, float, str)):
+                parser.add_argument(f"--{f.name}", type=type(f.default),
+                                    default=f.default)
+            elif f.default is None:
+                parser.add_argument(f"--{f.name}", type=str, default=None)
         args = parser.parse_args(argv)
         return cls(**vars(args))
 

@@ -57,14 +57,26 @@ def trace(log_dir):
         jax.profiler.stop_trace()
 
 
-def throughput(fn, *args, iters=20, warmup=2, items_per_call=1):
-    """Measure items/s of a (jitted) callable; blocks on the result."""
-    for _ in range(warmup):
-        out = fn(*args)
+def throughput(fn, x, iters=20, items_per_call=1):
+    """Measure items/s of ``fn(x) -> y`` (y must have x's shape/dtype).
+
+    Chains ``iters`` applications inside ONE jitted ``lax.scan`` with a data
+    dependency, so the measurement is real serialized device time — a
+    Python loop of async dispatches with a single trailing
+    ``block_until_ready`` under-reports badly on relay/remote-dispatch
+    setups (see CLAUDE.md / docs/kernels.md "benchmarking caveat")."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chain(x0):
+        return lax.scan(lambda c, _: (fn(c), None), x0, None,
+                        length=iters)[0]
+
+    out = chain(x)  # compile + warmup
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    out = chain(x)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return items_per_call * iters / dt
