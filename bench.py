@@ -25,6 +25,10 @@ CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def bench_jax():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/nf_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from nf_tpu.models import build_realnvp

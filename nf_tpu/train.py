@@ -65,6 +65,9 @@ def build_model(cfg: TrainConfig, key):
 
 
 def main(argv=None):
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = TrainConfig.from_args(argv)
     print(cfg.to_json())
     key = jax.random.PRNGKey(cfg.seed)

@@ -20,7 +20,8 @@ from .config import TrainConfig
 from .debug import checked, debug_nans
 from .logging import MetricLogger, effective_sample_size, mcmc_acceptance_rate
 from .optim import lipschitz_scales, update_lipschitz
-from .profiling import Named, throughput, trace
+from .profiling import (Named, enable_compilation_cache,
+                        throughput, trace)
 from .serialization import CheckpointManager, load, save
 from .eval import bits_per_dim, bits_per_dim_dataset
 from .nn import (
