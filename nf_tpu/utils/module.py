@@ -99,6 +99,22 @@ class Module:
         """Functional field update (out-of-place)."""
         return dataclasses.replace(self, **updates)
 
+    def save(self, path):
+        """Serialize all array leaves to an ``.npz`` (reference
+        ``core.py:199-205`` ``save``; structure comes from the code on
+        load)."""
+        from .serialization import save as _save
+
+        _save(path, self)
+
+    def load(self, path):
+        """Return a copy with arrays loaded from ``path`` (reference
+        ``core.py:207-213`` ``load``; ``self`` is the structure
+        template)."""
+        from .serialization import load as _load
+
+        return _load(path, self)
+
     def __repr__(self):
         parts = []
         for f in dataclasses.fields(self):

@@ -239,3 +239,14 @@ def test_scanned_matches_composite():
     zs, lds = scanned.inverse(x)
     np.testing.assert_allclose(np.asarray(zc), np.asarray(zs), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ldc), np.asarray(lds), atol=1e-5)
+
+
+def test_shift_transform_roundtrip():
+    from nf_tpu.transforms import Shift
+
+    s = Shift(shift=0.25)
+    x = jax.random.uniform(KEY, (8, 3))
+    y, ld = s.forward(x)
+    x2, ld2 = s.inverse(y)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld + ld2), 0.0, atol=1e-6)

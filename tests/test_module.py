@@ -72,3 +72,21 @@ def test_jit_with_module_arg():
 
     out = f(m, jnp.ones(2))
     np.testing.assert_allclose(np.asarray(out), [2.0, 2.0])
+
+
+def test_model_save_load_methods(tmp_path):
+    """Reference-parity model.save / model.load convenience methods."""
+    import jax
+    import numpy as np
+
+    import nf_tpu.models as models
+
+    key = jax.random.PRNGKey(0)
+    m = models.build_realnvp(key, dim=2, K=2, hidden=[8, 8])
+    p = str(tmp_path / "model.npz")
+    m.save(p)
+    m2 = models.build_realnvp(jax.random.PRNGKey(1), dim=2, K=2,
+                              hidden=[8, 8]).load(p)
+    x = jax.random.normal(key, (4, 2))
+    np.testing.assert_allclose(np.asarray(m2.log_prob(x)),
+                               np.asarray(m.log_prob(x)), atol=1e-6)
