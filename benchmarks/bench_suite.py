@@ -132,6 +132,31 @@ def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4):
            loss=float(loss))
 
 
+def bench_image_nsf_step(batch=64, L=2, K=4, hidden=64, reps=8):
+    import optax
+
+    from nf_tpu.parallel import init_train_state, make_forward_kld_step
+
+    key = jax.random.PRNGKey(0)
+    model = models.build_image_nsf(key, input_shape=(3, 32, 32), L=L, K=K,
+                                   hidden_channels=hidden)
+    x = jax.random.uniform(key, (batch, 3, 32, 32), minval=0.01,
+                           maxval=0.99)
+    model = model.init_from_data(x)
+    opt = optax.adam(1e-3)
+    state, static = init_train_state(model, opt)
+    step = make_forward_kld_step(static, opt)
+    state, loss = step(state, x)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, loss = step(state, x)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / reps
+    record("image_nsf_l2_k4_train_step", batch / dt, "images/s",
+           loss=float(loss))
+
+
 def main():
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     bench_realnvp_roundtrip()
@@ -139,6 +164,7 @@ def main():
     bench_nsf_sample_logprob()
     bench_maf_logprob()
     bench_glow_step()
+    bench_image_nsf_step()
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
     with open(out, "w") as f:

@@ -6,6 +6,7 @@ from .builders import (
     build_circular_nsf,
     build_conditional_nsf,
     build_glow_multiscale,
+    build_image_nsf,
     build_maf,
     build_nsf,
     build_planar_stack,

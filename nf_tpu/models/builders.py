@@ -164,6 +164,59 @@ def build_residual(key, dim=2, K=16, hidden=128, n_hidden_layers=3,
     return core.NormalizingFlow.create(q0, flows, p=target)
 
 
+def build_image_nsf(key, input_shape=(3, 32, 32), L=2, K=4,
+                    hidden_channels=64, num_bins=8, tail_bound=3.0,
+                    num_classes=10, class_cond=False, num_blocks=2,
+                    logit_alpha=0.05, dtype=jnp.float32):
+    """Multi-scale neural-spline flow on images: per level, K x
+    [ActNorm, LU 1x1-conv, RQS channel coupling with a ConvResidualNet
+    conditioner] + Squeeze. The reference ships the pieces (4D spline
+    coupling ``neural_spline/coupling.py:56-61``, ConvResidualNet
+    ``nets/resnet.py:107``) but no assembled image-NSF; on TPU the
+    elementwise spline rides the fused Pallas kernel (N = B*C*H*W/2
+    elements per coupling)."""
+    from ..nets import ConvResidualNet
+
+    C, H, W = input_shape
+    keys = jax.random.split(key, 3 * L * K)
+    q0, flows, merges = [], [], []
+    ki = 0
+    for i in range(L):
+        ch = C * 2 ** (L + 1 - i)
+        flows_ = []
+        for j in range(K):
+            mask = np.asarray(create_alternating_binary_mask(
+                ch, even=(j % 2 == 0))) * 2.0 - 1.0  # {-1, 1} channel mask
+            def net_fn(k, in_ch, out_ch, _h=hidden_channels):
+                return ConvResidualNet.create(
+                    k, in_ch, out_ch, _h, num_blocks=num_blocks,
+                    dtype=dtype)
+            flows_.append(nff.ActNorm.create((ch, 1, 1), dtype=dtype))
+            flows_.append(nff.Invertible1x1Conv.create(keys[ki], ch,
+                                                       use_lu=True,
+                                                       dtype=dtype))
+            flows_.append(nff.PiecewiseRationalQuadraticCoupling.create(
+                keys[ki + 1], mask, net_fn, num_bins=num_bins,
+                tails="linear", tail_bound=tail_bound, dtype=dtype))
+            ki += 2
+        flows_.append(nff.Squeeze())
+        flows.append(flows_)
+        if i > 0:
+            merges.append(nff.Merge())
+            latent_shape = (C * 2 ** (L - i), H // 2 ** (L - i),
+                            W // 2 ** (L - i))
+        else:
+            latent_shape = (C * 2 ** (L + 1), H // 2 ** L, W // 2 ** L)
+        if class_cond:
+            q0.append(dist.ClassCondDiagGaussian.create(latent_shape,
+                                                        num_classes))
+        else:
+            q0.append(dist.GlowBase.create(latent_shape))
+    return core.MultiscaleFlow.create(q0, flows, merges,
+                                      transform=Logit(alpha=logit_alpha),
+                                      class_cond=class_cond)
+
+
 def build_glow_multiscale(key, input_shape=(3, 32, 32), L=3, K=16,
                           hidden_channels=256, num_classes=10,
                           class_cond=True, split_mode="channel",

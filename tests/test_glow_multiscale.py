@@ -125,3 +125,25 @@ def test_class_cond_flow():
     np.testing.assert_allclose(np.asarray(log_q), np.asarray(lp), atol=1e-4)
     loss = model.forward_kld(z, y)
     assert np.isfinite(float(loss))
+
+
+def test_image_nsf_log_prob_and_roundtrip():
+    """Multi-scale image NSF (4D RQS couplings + ConvResidualNet)."""
+    import nf_tpu.models as models
+
+    key = jax.random.PRNGKey(0)
+    model = models.build_image_nsf(key, input_shape=(3, 8, 8), L=2, K=2,
+                                   hidden_channels=8, num_bins=4)
+    x = jax.random.uniform(key, (4, 3, 8, 8), minval=0.05, maxval=0.95)
+    model = model.init_from_data(x)
+    lp = model.log_prob(x)
+    assert lp.shape == (4,) and np.isfinite(np.asarray(lp)).all()
+    z, ld = model.inverse_and_log_det(x)
+    x2, ld2 = model.forward_and_log_det(z)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld + ld2), 0.0, atol=1e-3)
+    s, log_q = model.sample(jax.random.PRNGKey(1), 4)
+    assert s.shape == (4, 3, 8, 8)
+    lp_s = model.log_prob(s)
+    np.testing.assert_allclose(np.asarray(lp_s), np.asarray(log_q),
+                               rtol=0.05, atol=0.5)
