@@ -147,3 +147,19 @@ def test_image_nsf_log_prob_and_roundtrip():
     lp_s = model.log_prob(s)
     np.testing.assert_allclose(np.asarray(lp_s), np.asarray(log_q),
                                rtol=0.05, atol=0.5)
+
+
+def test_image_nsf_class_conditional():
+    import nf_tpu.models as models
+
+    key = jax.random.PRNGKey(0)
+    model = models.build_image_nsf(key, input_shape=(3, 8, 8), L=2, K=1,
+                                   hidden_channels=8, num_bins=4,
+                                   class_cond=True, num_classes=5)
+    x = jax.random.uniform(key, (4, 3, 8, 8), minval=0.05, maxval=0.95)
+    y = jnp.asarray([0, 1, 2, 3])
+    model = model.init_from_data(x, y)
+    lp = model.log_prob(x, y)
+    assert np.isfinite(np.asarray(lp)).all()
+    s, log_q = model.sample(jax.random.PRNGKey(1), 4, y=y)
+    assert s.shape == (4, 3, 8, 8)

@@ -23,7 +23,7 @@ def _params(key, shape, num_bins, n_deriv):
 
 @pytest.mark.parametrize("inverse", [False, True])
 @pytest.mark.parametrize("shape,num_bins", [((517, 3), 8), ((64,), 5),
-                                            ((7, 5, 2), 10)])
+                                            ((7, 5, 2), 10), ((200,), 32)])
 def test_pallas_matches_dense_linear_tails(inverse, shape, num_bins):
     uw, uh, ud = _params(KEY, shape, num_bins, num_bins - 1)
     x = 3.0 * jax.random.normal(KEY, shape)
