@@ -49,41 +49,52 @@ def train(model, loss_of_model, args, weight_decay=0.0,
 
     ``loss_of_model(model, key, it) -> scalar``. ``post_update(model)`` runs
     inside the step after the optimizer update (e.g. Lipschitz power
-    iteration). Returns (model, loss_history).
+    iteration); its buffer updates are threaded through the step so they
+    persist. Returns (model, loss_history).
     """
+    from nf_tpu.utils.module import partition_arrays
+
     params, static = partition(model)
+    # buffers ride through the step explicitly — in-step updates to them
+    # (power iteration u/v) must not be dropped with the static closure
+    buffers, config = partition_arrays(static)
     lr = lr_schedule if lr_schedule is not None else args.lr
     opt = (optax.adamw(lr, weight_decay=weight_decay)
            if weight_decay else optax.adam(lr))
     opt_state = opt.init(params)
 
+    def model_of(params, buffers):
+        return combine(combine(params, buffers), config)
+
     @jax.jit
-    def step(params, opt_state, key, it):
+    def step(params, buffers, opt_state, key, it):
         def loss_fn(p):
-            return loss_of_model(combine(p, static), key, it)
+            return loss_of_model(model_of(p, buffers), key, it)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if post_update is not None:
-            params, _ = partition(post_update(combine(params, static)))
-        return params, opt_state, loss
+            params, rest = partition(post_update(model_of(params, buffers)))
+            buffers, _ = partition_arrays(rest)
+        return params, buffers, opt_state, loss
 
-    key = jax.random.PRNGKey(args.seed)
+    # distinct stream from the caller's model-init keys (same seed)
+    key = jax.random.fold_in(jax.random.PRNGKey(args.seed), 0x7EA1)
     every = log_every(args)
     hist = []
     t0 = time.time()
     for it in range(args.iters):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub,
-                                       jnp.asarray(it, jnp.float32))
+        params, buffers, opt_state, loss = step(
+            params, buffers, opt_state, sub, jnp.asarray(it, jnp.float32))
         if it % every == 0 or it == args.iters - 1:
             loss = float(loss)
             hist.append((it, loss))
             print(f"iter {it:6d}  loss {loss:+.4f}", flush=True)
     print(f"{args.iters} iters in {time.time() - t0:.1f}s "
           f"on {jax.default_backend()}")
-    return combine(params, static), hist
+    return model_of(params, buffers), hist
 
 
 def plot_density(log_prob_fn, path, extent=(-3, 3, -3, 3), grid=200,

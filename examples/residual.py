@@ -36,8 +36,8 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     model = models.build_residual(key, K=args.K, hidden=args.hidden,
                                   n_hidden_layers=2)
-    key, sub = jax.random.split(key)
-    model = model.init_from_data(make_moons(sub, 512))
+    key, sub, k_init = jax.random.split(key, 3)
+    model = model.init_from_data(make_moons(sub, 512), key=k_init)
 
     def loss(model, key, it):
         k1, k2 = jax.random.split(key)

@@ -152,13 +152,16 @@ class NormalizingFlow(Module):
 
     # --- data-dependent initialization ------------------------------------------
 
-    def init_from_data(self, x, context=None):
+    def init_from_data(self, x, context=None, key=None):
         """Initialize ActNorm layers from a data batch along the density
-        (inverse) direction; returns the updated model."""
+        (inverse) direction; returns the updated model. ``key`` is required
+        when the chain contains stochastic-estimator layers (residual
+        flows)."""
+        keys = _split_keys(key, len(self.flows))
         new_flows = []
         z = x
-        for flow in reversed(self.flows):
-            flow, z, _ = flow.init_data_inverse(z, context=context)
+        for flow, k in zip(reversed(self.flows), keys):
+            flow, z, _ = flow.init_data_inverse(z, context=context, key=k)
             new_flows.append(flow)
         return self.replace(flows=tuple(reversed(new_flows)))
 

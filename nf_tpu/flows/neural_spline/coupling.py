@@ -293,6 +293,10 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
         ud = transform_params[..., 2 * self.num_bins:]
         tb = self.tail_bound_arr if self.tail_bound_arr is not None \
             else self.tail_bound
+        if self.tail_bound_arr is not None and inputs.ndim > 2:
+            # per-feature bounds align to the CHANNEL axis of 4D inputs,
+            # not the trailing width axis
+            tb = tb.reshape((1, -1) + (1,) * (inputs.ndim - 2))
         if self.tails is None:
             return ops.rational_quadratic_spline(
                 inputs, uw, uh, ud, inverse=inverse,

@@ -178,7 +178,7 @@ def build_image_nsf(key, input_shape=(3, 32, 32), L=2, K=4,
     from ..nets import ConvResidualNet
 
     C, H, W = input_shape
-    keys = jax.random.split(key, 3 * L * K)
+    keys = jax.random.split(key, 2 * L * K)
     q0, flows, merges = [], [], []
     ki = 0
     for i in range(L):

@@ -16,5 +16,6 @@ from .train import (
     init_train_state,
     make_forward_kld_step,
     make_reverse_kld_step,
+    model_of_state,
     shard_batch,
 )

@@ -36,10 +36,9 @@ def param_shardings(params, mesh: Mesh, axis: str = "model",
         if not hasattr(leaf, "shape") or leaf.ndim == 0 or size == 1:
             return P()
         shape = leaf.shape
-        # prefer the output dim (axis 0 of (out, in) / OIHW); fall back to
-        # any dim that divides evenly and is big enough to be worth it
-        candidates = [0] + list(range(1, leaf.ndim))
-        for d in candidates:
+        # first dim that divides evenly and is big enough to be worth it
+        # (axis 0 = the output dim of (out, in) / OIHW weights)
+        for d in range(leaf.ndim):
             if shape[d] % size == 0 and shape[d] // size >= min_size:
                 parts = [None] * leaf.ndim
                 parts[d] = axis

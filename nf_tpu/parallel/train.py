@@ -23,31 +23,55 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..utils.module import Module, combine, partition
+from ..utils.module import (
+    Module,
+    combine,
+    partition,
+    partition_arrays,
+)
 from .mesh import data_sharding, replicated
 
 
 class TrainState(Module):
     """Replicated training state: trainable params + optimizer state + step.
 
-    The non-trainable remainder of the model (buffers, static config) stays
-    outside as the ``static`` closure of the step function.
+    ``buffers`` (None unless ``init_train_state(carry_buffers=True)``) holds
+    the model's non-trainable array state so in-step updates to it
+    (spectral-norm power iteration, ...) persist; otherwise buffers live in
+    the baked ``static`` closure of the step function.
     """
 
     params: Any
     opt_state: Any
     step: jax.Array
+    buffers: Any = None
 
     @classmethod
-    def create(cls, params, optimizer):
+    def create(cls, params, optimizer, buffers=None):
         return cls(params=params, opt_state=optimizer.init(params),
-                   step=jnp.zeros((), jnp.int32))
+                   step=jnp.zeros((), jnp.int32), buffers=buffers)
 
 
-def init_train_state(model, optimizer):
-    """Split ``model`` into (TrainState, static); reunite with ``combine``."""
+def init_train_state(model, optimizer, carry_buffers=False):
+    """Split ``model`` into (TrainState, static); reunite with
+    :func:`model_of_state`.
+
+    ``carry_buffers=True`` threads the buffer arrays through the TrainState
+    (required when the step mutates them, e.g. ``post_update=
+    update_lipschitz``); the returned ``static`` then holds config only.
+    """
     params, static = partition(model)
+    if carry_buffers:
+        buffers, config = partition_arrays(static)
+        return TrainState.create(params, optimizer, buffers=buffers), config
     return TrainState.create(params, optimizer), static
+
+
+def model_of_state(state: TrainState, static):
+    """Rebuild the model from a TrainState and its static remainder."""
+    if state.buffers is not None:
+        return combine(combine(state.params, state.buffers), static)
+    return combine(state.params, static)
 
 
 def shard_batch(mesh: Mesh, batch):
@@ -95,17 +119,26 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
 
     def step(state: TrainState, batch, key=None):
         def compute(p):
-            model = combine(p, static)
+            model = model_of_state(state.replace(params=p), static)
             return loss_fn(model, batch, key)
 
         loss, grads = jax.value_and_grad(compute)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = _apply_updates(state.params, updates)
+        buffers = state.buffers
         if post_update is not None:
-            params, _ = partition(post_update(combine(params, static)))
+            if buffers is None:
+                raise ValueError(
+                    "post_update mutates buffer state: build the state with "
+                    "init_train_state(..., carry_buffers=True) so the "
+                    "updates persist instead of being dropped with the "
+                    "static closure.")
+            model = post_update(combine(combine(params, buffers), static))
+            params, rest = partition(model)
+            buffers, _ = partition_arrays(rest)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss
+                          step=state.step + 1, buffers=buffers), loss
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:

@@ -41,10 +41,13 @@ TARGETS = {
 
 def build_model(cfg: TrainConfig, key):
     target = TARGETS[cfg.target]()
+    if cfg.bf16 and cfg.model != "realnvp":
+        raise SystemExit("--bf16 is currently supported for --model realnvp")
     if cfg.model == "realnvp":
+        dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
         return models.build_realnvp(key, dim=cfg.dim, K=cfg.num_layers,
                                     hidden=[cfg.hidden, cfg.hidden],
-                                    target=target)
+                                    target=target, dtype=dtype)
     if cfg.model == "nsf":
         return models.build_nsf(key, dim=cfg.dim, K=cfg.num_layers,
                                 hidden=cfg.hidden, num_bins=cfg.num_bins,
@@ -82,13 +85,20 @@ def main(argv=None):
 
     key, sub = jax.random.split(key)
     model = build_model(cfg, sub)
+    key, sub = jax.random.split(key)
     if cfg.loss == "reverse_kld":
-        key, sub = jax.random.split(key)
         model = model.init_from_samples(sub, min(cfg.num_samples, 1024))
+    else:
+        # ActNorm data-dependent init from a target batch (density direction)
+        k1, k2 = jax.random.split(sub)
+        x0 = model.p.sample(k1, min(cfg.batch_size, 1024))
+        model = model.init_from_data(x0, key=k2)
 
     opt = (optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
            if cfg.weight_decay else optax.adam(cfg.lr))
-    state, static = init_train_state(model, opt)
+    carry_buffers = cfg.model == "residual" and cfg.loss == "forward_kld"
+    state, static = init_train_state(model, opt,
+                                     carry_buffers=carry_buffers)
 
     ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir \
         else None
@@ -112,9 +122,9 @@ def main(argv=None):
         def run_step(state, key):
             return step_fn(state, key)
     else:
-        from .utils.module import combine
+        from .parallel.train import model_of_state
 
-        target = combine(state.params, static).p
+        target = model_of_state(state, static).p
         is_residual = cfg.model == "residual"
         post = None
         if is_residual:
@@ -131,6 +141,9 @@ def main(argv=None):
             if is_residual:
                 return mle_step(state, x, k2)
             return mle_step(state, x)
+
+    # resume continues the RNG stream instead of replaying it from seed
+    key = jax.random.fold_in(key, start_step)
 
     t0 = time.time()
     loss = None

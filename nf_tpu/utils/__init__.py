@@ -12,6 +12,7 @@ from .module import (
     is_array,
     is_inexact_array,
     partition,
+    partition_arrays,
     static_field,
     stop_gradient_params,
     tree_size,

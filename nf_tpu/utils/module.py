@@ -174,6 +174,37 @@ def partition(tree, is_trainable=is_inexact_array):
         return None, tree
 
 
+def partition_arrays(tree):
+    """Split ``tree`` into (all array leaves, non-array remainder).
+
+    Unlike :func:`partition`, buffer fields land on the ARRAY side — this is
+    how training steps thread buffer state (spectral-norm u/v, ActNorm
+    statistics) through jit instead of losing in-step updates to the baked
+    static closure. Reunite with nested :func:`combine`:
+    ``combine(combine(params, buffers), config)``.
+    """
+    if isinstance(tree, Module):
+        a_up, c_up = {}, {}
+        for name in tree._nf_dynamic:
+            a, c = partition_arrays(getattr(tree, name))
+            a_up[name] = a
+            c_up[name] = c
+        return tree.replace(**a_up), tree.replace(**c_up)
+    elif isinstance(tree, (list, tuple)):
+        pairs = [partition_arrays(v) for v in tree]
+        ctor = type(tree)
+        return ctor(a for a, _ in pairs), ctor(c for _, c in pairs)
+    elif isinstance(tree, dict):
+        pairs = {k: partition_arrays(v) for k, v in tree.items()}
+        return ({k: a for k, (a, _) in pairs.items()},
+                {k: c for k, (_, c) in pairs.items()})
+    elif tree is None:
+        return None, None
+    elif is_array(tree):
+        return tree, None
+    return None, tree
+
+
 def combine(params, static):
     """Inverse of :func:`partition`: overlay two same-structure trees."""
     return jax.tree_util.tree_map(

@@ -112,11 +112,46 @@ def test_forward_kld_step_with_key_and_post_update():
     model = models.build_residual(KEY, dim=2, K=1, hidden=8,
                                   n_hidden_layers=2)
     opt = optax.adam(1e-3)
-    state, static = init_train_state(model, opt)
+    state, static = init_train_state(model, opt, carry_buffers=True)
     step = make_forward_kld_step(
         static, opt, with_key=True,
         post_update=lambda m: update_lipschitz(m, 2))
     x = jax.random.normal(KEY, (16, 2))
+    u_before = [np.asarray(l) for l in
+                jax.tree_util.tree_leaves(state.buffers)]
     state, loss = step(state, x, jax.random.PRNGKey(1))
+    state, loss = step(state, x, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss))
-    assert int(state.step) == 1
+    assert int(state.step) == 2
+    # the power-iteration buffer updates must PERSIST across steps
+    u_after = [np.asarray(l) for l in
+               jax.tree_util.tree_leaves(state.buffers)]
+    assert any(np.max(np.abs(a - b)) > 0
+               for a, b in zip(u_before, u_after))
+    # post_update without carry_buffers must refuse (silent no-op trap)
+    s2, st2 = init_train_state(model, opt)
+    step2 = make_forward_kld_step(st2, opt, with_key=True,
+                                  post_update=lambda m: m)
+    with pytest.raises(ValueError, match="carry_buffers"):
+        step2(s2, x, jax.random.PRNGKey(1))
+
+
+def test_4d_coupling_per_channel_tail_bound():
+    """Per-feature tail bounds on image couplings align to the channel
+    axis (previously crashed/misaligned against the width axis)."""
+    from nf_tpu.nets import ConvResidualNet
+
+    C, Hs = 4, 6  # C != W would crash under the old broadcast
+    mask = np.asarray([1.0, -1.0, 1.0, -1.0])
+    tb = np.asarray([2.0, 3.0, 2.5, 3.5])  # per full input channel
+
+    def net_fn(k, in_ch, out_ch):
+        return ConvResidualNet.create(k, in_ch, out_ch, 8, num_blocks=1)
+
+    f = nff.PiecewiseRationalQuadraticCoupling.create(
+        KEY, mask, net_fn, num_bins=4, tails="linear", tail_bound=tb)
+    x = jax.random.normal(KEY, (3, C, Hs, Hs))
+    z, ld = f.forward(x)
+    x2, ld2 = f.inverse(z)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld + ld2), 0.0, atol=1e-3)
