@@ -52,6 +52,7 @@ def train(model, loss_of_model, args, weight_decay=0.0,
     iteration); its buffer updates are threaded through the step so they
     persist. Returns (model, loss_history).
     """
+    from nf_tpu.parallel.train import apply_post_update
     from nf_tpu.utils.module import partition_arrays
 
     params, static = partition(model)
@@ -75,8 +76,8 @@ def train(model, loss_of_model, args, weight_decay=0.0,
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if post_update is not None:
-            params, rest = partition(post_update(model_of(params, buffers)))
-            buffers, _ = partition_arrays(rest)
+            params, buffers = apply_post_update(params, buffers, config,
+                                                post_update)
         return params, buffers, opt_state, loss
 
     # distinct stream from the caller's model-init keys (same seed)

@@ -200,7 +200,7 @@ class Scanned(Flow):
         order = (reversed(range(self.num_layers)) if inverse
                  else range(self.num_layers))
         for i in order:
-            k = keys[i] if keys is not None else None
+            k = keys[i]
             if inverse:
                 layers[i], z, ld = layers[i].init_data_inverse(
                     z, context=context, key=k)

@@ -38,7 +38,10 @@ def make_mesh(axis_names: Sequence[str] = ("data",),
 
 
 def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch/sample) axis, replicate the rest."""
+    """Shard the leading (batch/sample) axis, replicate the rest.
+    0-dim leaves (per-batch scalar metadata) replicate."""
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 

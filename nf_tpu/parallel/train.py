@@ -74,6 +74,18 @@ def model_of_state(state: TrainState, static):
     return combine(state.params, static)
 
 
+def apply_post_update(params, buffers, config, post_update):
+    """Run ``post_update`` on the rebuilt model and re-split, preserving its
+    buffer updates. This is THE fragile invariant (CLAUDE.md): re-splitting
+    with plain ``partition`` against a stale static closure silently
+    discards buffer mutations, so every step builder and training loop must
+    go through this one helper."""
+    model = post_update(combine(combine(params, buffers), config))
+    params, rest = partition(model)
+    buffers, _ = partition_arrays(rest)
+    return params, buffers
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch with its leading axis sharded over ``data``."""
     return jax.tree_util.tree_map(
@@ -134,9 +146,8 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
                     "init_train_state(..., carry_buffers=True) so the "
                     "updates persist instead of being dropped with the "
                     "static closure.")
-            model = post_update(combine(combine(params, buffers), static))
-            params, rest = partition(model)
-            buffers, _ = partition_arrays(rest)
+            params, buffers = apply_post_update(params, buffers, static,
+                                                post_update)
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1, buffers=buffers), loss
 
@@ -185,16 +196,17 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P()),  # params/state replicated, key replicated
+        in_specs=(P(), P(), P(), P()),  # everything replicated; RNG folded
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def sharded_grads(params, key, beta):
+    def sharded_grads(params, buffers, key, beta):
         idx = jax.lax.axis_index(axis)
         local_key = jax.random.fold_in(key, idx)
 
         def compute(p):
-            model = combine(p, static)
+            model = combine(p, static) if buffers is None \
+                else combine(combine(p, buffers), static)
             return model.reverse_kld(local_key, num_samples=local_samples,
                                      beta=beta, score_fn=score_fn)
 
@@ -205,12 +217,12 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
 
     def step(state: TrainState, key):
         beta = beta_schedule(state.step)
-        loss, grads = sharded_grads(state.params, key, beta)
+        loss, grads = sharded_grads(state.params, state.buffers, key, beta)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = _apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss
+                          step=state.step + 1, buffers=state.buffers), loss
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     repl = replicated(mesh)

@@ -138,6 +138,31 @@ def _none_tree(tree):
     return jax.tree_util.tree_map(lambda _: None, tree)
 
 
+def _rebuild_seq(tree, items):
+    """Reconstruct a list/tuple (incl. namedtuples, which need *args)."""
+    ctor = type(tree)
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):
+        return ctor(*items)
+    return ctor(items)
+
+
+def _check_opaque_leaf(tree, fn_name):
+    """A non-container leaf holding arrays inside a registered pytree would
+    silently land wholesale on the static side and freeze its parameters;
+    refuse instead of corrupting."""
+    if is_array(tree):
+        return
+    try:
+        leaves = jax.tree_util.tree_leaves(tree)
+    except Exception:
+        return
+    if any(is_array(l) for l in leaves if l is not tree):
+        raise TypeError(
+            f"{fn_name} reached a non-Module pytree container "
+            f"{type(tree).__name__!r} holding arrays; wrap it in a Module "
+            "or use list/tuple/dict so its parameters are split correctly.")
+
+
 def partition(tree, is_trainable=is_inexact_array):
     """Split ``tree`` into (trainable params, everything else).
 
@@ -159,8 +184,8 @@ def partition(tree, is_trainable=is_inexact_array):
         return tree.replace(**p_updates), tree.replace(**s_updates)
     elif isinstance(tree, (list, tuple)):
         pairs = [partition(v, is_trainable) for v in tree]
-        ctor = type(tree)
-        return ctor(p for p, _ in pairs), ctor(s for _, s in pairs)
+        return (_rebuild_seq(tree, [p for p, _ in pairs]),
+                _rebuild_seq(tree, [s for _, s in pairs]))
     elif isinstance(tree, dict):
         pairs = {k: partition(v, is_trainable) for k, v in tree.items()}
         return {k: p for k, (p, _) in pairs.items()}, {
@@ -171,6 +196,7 @@ def partition(tree, is_trainable=is_inexact_array):
     elif is_trainable(tree):
         return tree, None
     else:
+        _check_opaque_leaf(tree, "partition")
         return None, tree
 
 
@@ -192,8 +218,8 @@ def partition_arrays(tree):
         return tree.replace(**a_up), tree.replace(**c_up)
     elif isinstance(tree, (list, tuple)):
         pairs = [partition_arrays(v) for v in tree]
-        ctor = type(tree)
-        return ctor(a for a, _ in pairs), ctor(c for _, c in pairs)
+        return (_rebuild_seq(tree, [a for a, _ in pairs]),
+                _rebuild_seq(tree, [c for _, c in pairs]))
     elif isinstance(tree, dict):
         pairs = {k: partition_arrays(v) for k, v in tree.items()}
         return ({k: a for k, (a, _) in pairs.items()},
@@ -202,6 +228,7 @@ def partition_arrays(tree):
         return None, None
     elif is_array(tree):
         return tree, None
+    _check_opaque_leaf(tree, "partition_arrays")
     return None, tree
 
 

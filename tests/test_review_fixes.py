@@ -155,3 +155,59 @@ def test_4d_coupling_per_channel_tail_bound():
     x2, ld2 = f.inverse(z)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(ld + ld2), 0.0, atol=1e-3)
+
+
+def test_reverse_kld_step_preserves_buffers():
+    """Buffers thread through the sample-parallel VI step unchanged (and
+    ActNorm buffer state is actually used in the model)."""
+    import optax
+
+    from nf_tpu.parallel import init_train_state, make_reverse_kld_step
+    from nf_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(("data",))
+    model = models.build_realnvp(KEY, dim=2, K=2, hidden=[8, 8])
+    model = model.init_from_samples(KEY, 64)
+    opt = optax.adam(1e-3)
+    state, config = init_train_state(model, opt, carry_buffers=True)
+    step = make_reverse_kld_step(config, opt, mesh, num_samples=64)
+    b0 = [np.asarray(l) for l in jax.tree_util.tree_leaves(state.buffers)]
+    state, loss = step(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    b1 = [np.asarray(l) for l in jax.tree_util.tree_leaves(state.buffers)]
+    for a, b in zip(b0, b1):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_partition_rejects_opaque_array_containers():
+    import collections
+
+    from nf_tpu.utils.module import partition, partition_arrays
+
+    NT = collections.namedtuple("NT", ["a", "b"])
+    nt = NT(a=jnp.ones((2,)), b=jnp.zeros((3,)))
+    # namedtuples are handled (reconstructed field-wise)
+    p, s = partition([nt, 1.0])
+    assert isinstance(p[0], NT) and p[0].a is not None
+    a, c = partition_arrays((nt,))
+    assert isinstance(a[0], NT)
+
+    class Weird:
+        pass
+
+    w = Weird()
+    jax.tree_util.register_pytree_node(
+        Weird, lambda x: ((jnp.ones(2),), None),
+        lambda aux, ch: Weird())
+    with pytest.raises(TypeError, match="non-Module pytree"):
+        partition({"w": w})
+
+
+def test_shard_batch_scalar_leaf():
+    from nf_tpu.parallel import shard_batch
+    from nf_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(("data",))
+    out = shard_batch(mesh, {"x": jnp.ones((16, 2)),
+                             "w": jnp.float32(0.5)})
+    assert out["w"].shape == ()
