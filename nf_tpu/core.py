@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .flows.base import zero_log_det_like_z
 from .utils.module import Module, static_field, stop_gradient_params
 
 
@@ -130,7 +129,8 @@ class NormalizingFlow(Module):
         for flow, k in zip(self.flows, keys[1:]):
             z, log_det = flow.forward(z, context=context, key=k)
             log_q = log_q - log_det
-        log_p = self.p.log_prob(z)
+        log_p = self.p.log_prob(z, context=context) if context is not None \
+            else self.p.log_prob(z)
         if dreg:
             w_const = jax.lax.stop_gradient(jnp.exp(log_p - log_q))
             model_sg = stop_gradient_params(self)
@@ -324,7 +324,13 @@ class MultiscaleFlow(Module):
         model = self.set_temperature(temperature) if temperature is not None \
             else self
         n_flows = sum(len(f) for f in model.flows)
-        keys = _split_keys(key, len(model.q0) + n_flows)
+        keys = _split_keys(key, len(model.q0) + n_flows + 1)
+        if model.class_cond and y is None:
+            # one label shared by every level (drawing per-level labels
+            # would mix classes across scales; the reference does that —
+            # deliberate fix)
+            num_classes = model.q0[0].num_classes
+            y = jax.random.randint(keys[-1], (num_samples,), 0, num_classes)
         ki = 0
         z = log_q = None
         for i in range(len(model.q0)):
@@ -351,6 +357,8 @@ class MultiscaleFlow(Module):
 
     def log_prob(self, x, y=None, key=None):
         """(reference ``core.py:588``)"""
+        n_flows = sum(len(f) for f in self.flows)
+        keys = iter(_split_keys(key, n_flows))
         log_q = jnp.zeros(x.shape[0], dtype=x.dtype)
         z = x
         if self.transform is not None:
@@ -358,7 +366,7 @@ class MultiscaleFlow(Module):
             log_q = log_q + log_det
         for i in range(len(self.q0) - 1, -1, -1):
             for flow in reversed(self.flows[i]):
-                z, log_det = flow.inverse(z)
+                z, log_det = flow.inverse(z, key=next(keys))
                 log_q = log_q + log_det
             if i > 0:
                 [z, z_], log_det = self.merges[i - 1].inverse(z)

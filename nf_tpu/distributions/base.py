@@ -498,9 +498,15 @@ class GaussianPCA(BaseDistribution):
                                                         dtype=self.W.dtype))
 
     def forward(self, key, num_samples=1, context=None):
-        eps = jax.random.normal(key, (num_samples, self.latent_dim),
+        k1, k2 = jax.random.split(key)
+        eps = jax.random.normal(k1, (num_samples, self.latent_dim),
                                 self.loc.dtype)
-        z_ = eps @ self.W
+        # sigma observation noise so samples actually follow the returned
+        # density W^T W + sigma^2 I (the reference samples on the rank-
+        # latent_dim subspace only, ``base.py:689-693`` — deliberate fix)
+        noise = jnp.exp(self.log_sigma) * jax.random.normal(
+            k2, (num_samples, self.dim), self.loc.dtype)
+        z_ = eps @ self.W + noise
         z = z_ + self.loc
         return z, self._log_prob_centered(z_)
 

@@ -52,10 +52,13 @@ class NNDiagGaussianDecoder(BaseDecoder):
         mean = mean_std[:, :n_hidden]
         var = jnp.exp(mean_std[:, n_hidden:])
         x = _tile_x_to_z(x, z)
-        d = int(np.prod(z.shape[1:]))
+        # normalizer uses the DATA dimensionality (the reference uses the
+        # latent z's, ``decoder.py:65-67`` — deliberate fix: a d_x-dim
+        # Gaussian needs -d_x/2 log(2 pi))
+        d = int(np.prod(mean.shape[1:]))
         return -0.5 * d * _LOG2PI - 0.5 * jnp.sum(
             jnp.log(var) + (x - mean) ** 2 / var,
-            axis=tuple(range(1, z.ndim)))
+            axis=tuple(range(1, x.ndim)))
 
 
 class NNBernoulliDecoder(BaseDecoder):

@@ -121,4 +121,5 @@ class NNDiagGaussian(BaseEncoder):
         var = jnp.exp(mean_std[:, n_hidden:(2 * n_hidden)][:, None])
         d = int(np.prod(z.shape[2:]))
         return -0.5 * d * _LOG2PI - 0.5 * jnp.sum(
-            jnp.log(var) + (z - mean) ** 2 / var, axis=2)
+            jnp.log(var) + (z - mean) ** 2 / var,
+            axis=tuple(range(2, z.ndim)))

@@ -211,3 +211,59 @@ def test_shard_batch_scalar_leaf():
     out = shard_batch(mesh, {"x": jnp.ones((16, 2)),
                              "w": jnp.float32(0.5)})
     assert out["w"].shape == ()
+
+
+def test_gaussian_pca_samples_match_density_cov():
+    """Samples carry the sigma observation noise the density claims."""
+    from nf_tpu.distributions import GaussianPCA
+
+    d = GaussianPCA.create(KEY, dim=3, latent_dim=1, sigma=0.5)
+    z, log_p = d.forward(jax.random.PRNGKey(1), 20000)
+    emp = np.cov(np.asarray(z).T)
+    sig = np.asarray(d.W.T @ d.W + np.exp(2 * float(d.log_sigma)) * np.eye(3))
+    np.testing.assert_allclose(emp, sig, atol=0.1)
+    # and the returned log_p equals log_prob(z)
+    np.testing.assert_allclose(np.asarray(d.log_prob(z)), np.asarray(log_p),
+                               atol=1e-3)
+
+
+def test_decoder_normalizer_uses_data_dim():
+    from nf_tpu.distributions import NNDiagGaussianDecoder
+    from nf_tpu.nets import MLP
+
+    d_x, d_z = 6, 2
+    net = MLP.create(KEY, [d_z, 8, 2 * d_x])
+    dec = NNDiagGaussianDecoder(net=net)
+    z = jax.random.normal(KEY, (4, d_z))
+    mean, std = dec.forward(z)
+    lp = dec.log_prob(mean, z)  # x == mean -> quad term zero
+    expected = (-0.5 * d_x * np.log(2 * np.pi)
+                - np.sum(np.log(np.asarray(std) ** 2), axis=1) / 2)
+    np.testing.assert_allclose(np.asarray(lp), expected, atol=1e-4)
+
+
+def test_conditional_alpha_div_threads_context():
+    from nf_tpu.distributions import ConditionalDiagGaussianTarget
+
+    model = models.build_conditional_nsf(
+        KEY, dim=2, context_size=4, K=1, hidden=8,
+        target=ConditionalDiagGaussianTarget())
+    ctx = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]]), (16, 1))
+    loss = model.reverse_alpha_div(KEY, num_samples=16, alpha=0.5,
+                                   context=ctx)
+    assert np.isfinite(float(loss))
+
+
+def test_multiscale_log_prob_accepts_key_and_shared_y_sampling():
+    key = jax.random.PRNGKey(2)
+    m = models.build_glow_multiscale(key, input_shape=(3, 8, 8), L=2, K=1,
+                                     hidden_channels=8, class_cond=True,
+                                     num_classes=4)
+    x = jax.random.uniform(key, (4, 3, 8, 8), minval=0.05, maxval=0.95)
+    m = m.init_from_data(x, jnp.zeros((4,), jnp.int32))
+    lp = m.log_prob(x, jnp.zeros((4,), jnp.int32), key=key)
+    assert np.isfinite(np.asarray(lp)).all()
+    # y=None draws ONE shared label across levels; log_q finite
+    s, log_q = m.sample(key, 6)
+    assert s.shape == (6, 3, 8, 8)
+    assert np.isfinite(np.asarray(log_q)).all()
