@@ -30,35 +30,51 @@ class AffineConstFlow(Flow):
     by the number of broadcast positions.
     """
 
-    s: jax.Array
-    t: jax.Array
+    s: Optional[jax.Array]  # None = no (trainable) scaling
+    t: Optional[jax.Array]  # None = no (trainable) shift
     scale: bool = static_field(default=True)
     shift: bool = static_field(default=True)
+    _shape: tuple = static_field(default=())
 
     @classmethod
     def create(cls, shape, scale=True, shift=True, dtype=jnp.float32):
         if isinstance(shape, int):
             shape = (shape,)
-        s = jnp.zeros((1,) + tuple(shape), dtype)
-        t = jnp.zeros((1,) + tuple(shape), dtype)
-        return cls(s=s, t=t, scale=scale, shift=shift)
+        shape = tuple(shape)
+        # a disabled flag stores None so partition() never trains the
+        # parameter (reference register_buffer's it, ``coupling.py:24-31``)
+        s = jnp.zeros((1,) + shape, dtype) if scale else None
+        t = jnp.zeros((1,) + shape, dtype) if shift else None
+        return cls(s=s, t=t, scale=scale, shift=shift, _shape=shape)
+
+    @property
+    def _s(self):
+        return self.s if self.s is not None else jnp.zeros(
+            (1,) + self._shape)
+
+    @property
+    def _t(self):
+        return self.t if self.t is not None else 0.0
 
     def _num_broadcast(self, z):
         # product of z-dims where the parameter has a broadcast (size-1) axis
         n = 1
+        s = self._s
         for i in range(1, z.ndim):
-            if self.s.shape[i] == 1:
+            if s.shape[i] == 1:
                 n *= z.shape[i]
         return n
 
     def forward(self, z, context=None, key=None):
-        z_ = z * jnp.exp(self.s) + self.t
-        log_det = self._num_broadcast(z) * jnp.sum(self.s)
+        s = self._s
+        z_ = z * jnp.exp(s) + self._t
+        log_det = self._num_broadcast(z) * jnp.sum(s)
         return z_, jnp.broadcast_to(log_det, (z.shape[0],)).astype(z.dtype)
 
     def inverse(self, z, context=None, key=None):
-        z_ = (z - self.t) * jnp.exp(-self.s)
-        log_det = -self._num_broadcast(z) * jnp.sum(self.s)
+        s = self._s
+        z_ = (z - self._t) * jnp.exp(-s)
+        log_det = -self._num_broadcast(z) * jnp.sum(s)
         return z_, jnp.broadcast_to(log_det, (z.shape[0],)).astype(z.dtype)
 
 
@@ -96,7 +112,8 @@ class CCAffineConst(Flow):
         t = self.t + (y @ self.t_cc).reshape((-1,) + self.shape)
         return s, t
 
-    def forward(self, z, y, context=None, key=None):
+    def forward(self, z, context=None, key=None, y=None):
+        y = context if y is None else y
         s, t = self._params(y, z.shape[0])
         z_ = z * jnp.exp(s) + t
         nb = 1
@@ -106,7 +123,8 @@ class CCAffineConst(Flow):
         log_det = nb * sum_except_batch(s)
         return z_, log_det
 
-    def inverse(self, z, y, context=None, key=None):
+    def inverse(self, z, context=None, key=None, y=None):
+        y = context if y is None else y
         s, t = self._params(y, z.shape[0])
         z_ = (z - t) * jnp.exp(-s)
         nb = 1

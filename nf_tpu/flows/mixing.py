@@ -206,14 +206,21 @@ class _Permutation(Flow):
     (reference ``mixing.py:213-247``)."""
 
     permutation: jax.Array = buffer_field()
+    inv_permutation: jax.Array = buffer_field(default=None)
     dim: int = static_field(default=1)
+
+    def _inv(self):
+        # precomputed in create(); fall back for hand-built instances
+        if self.inv_permutation is not None:
+            return self.inv_permutation
+        return jnp.argsort(self.permutation)
 
     def forward(self, z, context=None, key=None):
         z_ = jnp.take(z, self.permutation, axis=self.dim)
         return z_, jnp.zeros(z.shape[0], dtype=z.dtype)
 
     def inverse(self, z, context=None, key=None):
-        z_ = jnp.take(z, jnp.argsort(self.permutation), axis=self.dim)
+        z_ = jnp.take(z, self._inv(), axis=self.dim)
         return z_, jnp.zeros(z.shape[0], dtype=z.dtype)
 
 
@@ -222,7 +229,9 @@ class _RandomPermutation(_Permutation):
 
     @classmethod
     def create(cls, key, features, dim=1):
-        return cls(permutation=jax.random.permutation(key, features), dim=dim)
+        perm = jax.random.permutation(key, features)
+        return cls(permutation=perm, inv_permutation=jnp.argsort(perm),
+                   dim=dim)
 
 
 class LULinear(Flow):

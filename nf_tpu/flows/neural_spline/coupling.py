@@ -180,6 +180,10 @@ class PiecewiseRationalQuadraticCDF(Flow):
                               (batch,) + self.unnormalized_derivatives.shape)
         tb = self.tail_bound_arr if self.tail_bound_arr is not None \
             else self.tail_bound
+        if (self.tail_bound_arr is not None
+                and self.tail_bound_arr.ndim == 1 and inputs.ndim > 2):
+            # per-channel bounds align to the channel axis of 4D inputs
+            tb = tb.reshape((1, -1) + (1,) * (inputs.ndim - 2))
         if self.tails is None:
             outputs, logabsdet = ops.rational_quadratic_spline(
                 inputs, uw, uh, ud, inverse=inverse,

@@ -82,6 +82,10 @@ class iResBlock(Module):
                n_exact_terms=2, n_dist="geometric", neumann_grad=True,
                grad_in_forward=False, n_power_series_max=24,
                dtype=jnp.float32):
+        if n_power_series is not None:
+            # a fixed truncation longer than the cap would silently compute
+            # fewer terms than requested
+            n_power_series_max = max(n_power_series_max, n_power_series)
         return cls(
             nnet=nnet,
             geom_p_logit=jnp.asarray(np.log(geom_p) - np.log(1 - geom_p),
@@ -160,9 +164,6 @@ class iResBlock(Module):
         vareps = jax.random.normal(k_eps, x.shape, x.dtype)
         coeffs = self._sample_coeffs(k_n)  # (cap,)
         cap = self.n_power_series_max
-        signs = jnp.asarray([(-1.0) ** (k + 1) for k in range(1, cap + 1)],
-                            x.dtype)
-        inv_k = jnp.asarray([1.0 / k for k in range(1, cap + 1)], x.dtype)
 
         g, vjp_fn = jax.vjp(self.nnet, x)
 
@@ -185,6 +186,11 @@ class iResBlock(Module):
         else:
             # basic estimator (reference ``residual.py:355-365``):
             # fully differentiable power series
+            signs = jnp.asarray(
+                [(-1.0) ** (k + 1) for k in range(1, cap + 1)], x.dtype)
+            inv_k = jnp.asarray([1.0 / k for k in range(1, cap + 1)],
+                                x.dtype)
+
             def body(carry, k_idx):
                 vjp, acc = carry
                 vjp = vjp_fn(vjp)[0]

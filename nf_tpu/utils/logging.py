@@ -49,9 +49,14 @@ class MetricLogger:
         self._jsonl.flush()
         if self._csv is not None:
             if self._csv_writer is None:
-                self._csv_writer = csv.DictWriter(self._csv,
-                                                  fieldnames=list(record))
-                self._csv_writer.writeheader()
+                self._csv_fields = list(record)
+                self._csv_writer = csv.DictWriter(
+                    self._csv, fieldnames=self._csv_fields,
+                    extrasaction="ignore", restval="")
+                # header only when starting a fresh file (appending a second
+                # header into an existing CSV corrupts it)
+                if self._csv.tell() == 0:
+                    self._csv_writer.writeheader()
             self._csv_writer.writerow(record)
             self._csv.flush()
         return record

@@ -30,7 +30,12 @@ def save(path, model):
     arrays = {}
     for i, leaf in enumerate(leaves):
         if is_array(leaf):
-            arrays[f"leaf_{i}"] = np.asarray(leaf)
+            arr = np.asarray(leaf)
+            if str(arr.dtype) == "bfloat16":
+                # npz cannot round-trip ml_dtypes; store f32, load() casts
+                # back to the template's dtype
+                arr = arr.astype(np.float32)
+            arrays[f"leaf_{i}"] = arr
         else:
             arrays[f"py_{i}"] = np.asarray(repr(leaf))
     np.savez(path, **arrays)
@@ -44,7 +49,10 @@ def load(path, template):
     for i, leaf in enumerate(leaves):
         key = f"leaf_{i}"
         if key in data:
-            arr = jnp.asarray(data[key])
+            # cast to the template's dtype: a checkpoint saved at another
+            # precision must not silently produce a mixed-precision model
+            dtype = leaf.dtype if is_array(leaf) else None
+            arr = jnp.asarray(data[key], dtype)
             if is_array(leaf) and tuple(leaf.shape) != tuple(arr.shape):
                 raise ValueError(
                     f"leaf {i}: shape mismatch {arr.shape} vs template "

@@ -267,3 +267,60 @@ def test_multiscale_log_prob_accepts_key_and_shared_y_sampling():
     s, log_q = m.sample(key, 6)
     assert s.shape == (6, 3, 8, 8)
     assert np.isfinite(np.asarray(log_q)).all()
+
+
+def test_affine_const_flags_freeze_parameters():
+    from nf_tpu.utils.module import partition
+
+    f = nff.AffineConstFlow.create((3,), scale=False)
+    assert f.s is None and f.t is not None
+    x = jax.random.normal(KEY, (4, 3))
+    z, ld = f.forward(x)
+    np.testing.assert_array_equal(np.asarray(ld), 0.0)  # no scaling
+    params, _ = partition(f)
+    leaves = [l for l in jax.tree_util.tree_leaves(params)]
+    assert len(leaves) == 1  # only t is trainable
+
+
+def test_cc_affine_const_context_contract():
+    f = nff.CCAffineConst.create((4,), num_classes=3)
+    f = f.replace(s_cc=0.1 * jax.random.normal(KEY, (3, 4)))
+    x = jax.random.normal(KEY, (5, 4))
+    y = jnp.asarray([0, 1, 2, 0, 1])
+    # label threads via context -> usable inside Composite
+    comp = nff.Composite(flows=(f,))
+    z, ld = comp.forward(x, context=y)
+    x2, ld2 = comp.inverse(z, context=y)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+
+
+def test_iresblock_truncation_cap_grows():
+    from nf_tpu.flows.residual import iResBlock
+    from nf_tpu.nets import LipschitzMLP
+
+    net = LipschitzMLP.create(KEY, [2, 8, 2], lipschitz_const=0.9)
+    blk = iResBlock.create(net, n_power_series=40)
+    assert blk.n_power_series_max >= 40
+
+
+def test_load_casts_to_template_dtype(tmp_path):
+    m = models.build_realnvp(KEY, dim=2, K=1, hidden=[4, 4],
+                             dtype=jnp.bfloat16)
+    p = str(tmp_path / "m.npz")
+    m.save(p)
+    tpl = models.build_realnvp(KEY, dim=2, K=1, hidden=[4, 4])
+    m2 = tpl.load(p)
+    dts = {l.dtype for l in jax.tree_util.tree_leaves(m2)
+           if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)}
+    assert dts == {jnp.dtype(jnp.float32)}
+
+
+def test_metric_logger_csv_tolerates_new_keys(tmp_path):
+    from nf_tpu.utils import MetricLogger
+
+    lg = MetricLogger(str(tmp_path / "m.jsonl"), also_csv=True)
+    lg.log(0, loss=1.0)
+    lg.log(1, loss=0.9, ess=0.5)  # new key must not crash
+    lg.close()
+    lines = open(str(tmp_path / "m.csv")).read().strip().split("\n")
+    assert len(lines) == 3 and lines[0].startswith("step")
