@@ -62,8 +62,10 @@ class MaskedAffineAutoregressive(Autoregressive):
     def create(cls, key, features, hidden_features, context_features=None,
                num_blocks=2, use_residual_blocks=True, random_mask=False,
                activation=jax.nn.relu, dropout_probability=0.0,
-               use_batch_norm=False, dtype=jnp.float32):
+               use_batch_norm=False, mixed_precision=False,
+               dtype=jnp.float32):
         from ..nets.made import MADE
+        from ..nets.precision import MixedPrecision
 
         made = MADE.create(
             key, features=features, hidden_features=hidden_features,
@@ -72,6 +74,8 @@ class MaskedAffineAutoregressive(Autoregressive):
             random_mask=random_mask, activation=activation,
             dropout_probability=dropout_probability,
             use_batch_norm=use_batch_norm, dtype=dtype)
+        if mixed_precision:
+            made = MixedPrecision(net=made)
         return cls(autoregressive_net=made, features=features)
 
     def _scale_shift(self, autoregressive_params):

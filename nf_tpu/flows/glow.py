@@ -22,7 +22,7 @@ class GlowBlock(Composite):
     def create(cls, key, channels, hidden_channels, scale=True,
                scale_map="sigmoid", split_mode="channel", leaky=0.0,
                init_zeros=True, use_lu=True, net_actnorm=False,
-               dtype=jnp.float32):
+               mixed_precision=False, dtype=jnp.float32):
         k_net, k_conv = jax.random.split(key)
         flows = []
         kernel_size = (3, 1, 3)
@@ -41,6 +41,9 @@ class GlowBlock(Composite):
         param_map = ConvNet2d.create(k_net, channels_, kernel_size, leaky,
                                      init_zeros, actnorm=net_actnorm,
                                      dtype=dtype)
+        if mixed_precision:
+            from ..nets.precision import MixedPrecision
+            param_map = MixedPrecision(net=param_map)
         flows.append(AffineCouplingBlock.create(param_map, scale, scale_map,
                                                 split_mode))
         if channels > 1:

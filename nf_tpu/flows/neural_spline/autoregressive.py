@@ -44,8 +44,9 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
                min_bin_width=splines.DEFAULT_MIN_BIN_WIDTH,
                min_bin_height=splines.DEFAULT_MIN_BIN_HEIGHT,
                min_derivative=splines.DEFAULT_MIN_DERIVATIVE,
-               dtype=jnp.float32):
+               mixed_precision=False, dtype=jnp.float32):
         from ...nets.made import MADE
+        from ...nets.precision import MixedPrecision
 
         if tails == "linear":
             mult = num_bins * 3 - 1
@@ -83,6 +84,8 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
             final = final.replace(weight=jnp.zeros_like(final.weight),
                                   bias=jnp.full_like(final.bias, constant))
             made = made.replace(final_layer=final)
+        if mixed_precision:
+            made = MixedPrecision(net=made)
 
         tb_arr = None
         if not np.isscalar(tail_bound):

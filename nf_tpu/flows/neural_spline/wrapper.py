@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...nets.precision import MixedPrecision
 from ...nets.resnet import ResidualNet
 from ...ops.splines import DEFAULT_MIN_DERIVATIVE
 from ...utils.masks import create_alternating_binary_mask
@@ -43,7 +44,7 @@ class CoupledRationalQuadraticSpline(Flow):
                num_context_channels=None, num_bins=8, tails="linear",
                tail_bound=3.0, activation=jax.nn.relu,
                dropout_probability=0.0, reverse_mask=False,
-               init_identity=True, dtype=jnp.float32):
+               init_identity=True, mixed_precision=False, dtype=jnp.float32):
         def transform_net_create_fn(k, in_features, out_features):
             net = ResidualNet.create(
                 k, in_features=in_features, out_features=out_features,
@@ -54,6 +55,8 @@ class CoupledRationalQuadraticSpline(Flow):
                 use_batch_norm=False, dtype=dtype)
             if init_identity:
                 net = _identity_init_resnet(net)
+            if mixed_precision:
+                net = MixedPrecision(net=net)
             return net
 
         prqct = PiecewiseRationalQuadraticCoupling.create(
@@ -86,7 +89,7 @@ class CircularCoupledRationalQuadraticSpline(Flow):
                ind_circ, num_context_channels=None, num_bins=8,
                tail_bound=3.0, activation=jax.nn.relu,
                dropout_probability=0.0, reverse_mask=False, mask=None,
-               init_identity=True, dtype=jnp.float32):
+               init_identity=True, mixed_precision=False, dtype=jnp.float32):
         if mask is None:
             mask = np.asarray(create_alternating_binary_mask(
                 num_input_channels, even=reverse_mask))
@@ -115,6 +118,8 @@ class CircularCoupledRationalQuadraticSpline(Flow):
                 use_batch_norm=False, preprocessing=pf, dtype=dtype)
             if init_identity:
                 net = _identity_init_resnet(net)
+            if mixed_precision:
+                net = MixedPrecision(net=net)
             return net
 
         tails = ["circular" if i in ind_circ else "linear"
@@ -143,7 +148,8 @@ class AutoregressiveRationalQuadraticSpline(Flow):
     def create(cls, key, num_input_channels, num_blocks, num_hidden_channels,
                num_context_channels=None, num_bins=8, tail_bound=3.0,
                activation=jax.nn.relu, dropout_probability=0.0,
-               permute_mask=False, init_identity=True, dtype=jnp.float32):
+               permute_mask=False, init_identity=True, mixed_precision=False,
+               dtype=jnp.float32):
         mprqat = MaskedPiecewiseRationalQuadraticAutoregressive.create(
             key, features=num_input_channels,
             hidden_features=num_hidden_channels,
@@ -152,7 +158,8 @@ class AutoregressiveRationalQuadraticSpline(Flow):
             use_residual_blocks=True, random_mask=False,
             permute_mask=permute_mask, activation=activation,
             dropout_probability=dropout_probability, use_batch_norm=False,
-            init_identity=init_identity, dtype=dtype)
+            init_identity=init_identity, mixed_precision=mixed_precision,
+            dtype=dtype)
         return cls(mprqat=mprqat)
 
     def forward(self, z, context=None, key=None):
@@ -174,7 +181,7 @@ class CircularAutoregressiveRationalQuadraticSpline(Flow):
                ind_circ, num_context_channels=None, num_bins=8,
                tail_bound=3.0, activation=jax.nn.relu,
                dropout_probability=0.0, permute_mask=True,
-               init_identity=True, dtype=jnp.float32):
+               init_identity=True, mixed_precision=False, dtype=jnp.float32):
         tails = ["circular" if i in ind_circ else "linear"
                  for i in range(num_input_channels)]
         mprqat = MaskedPiecewiseRationalQuadraticAutoregressive.create(
@@ -185,7 +192,8 @@ class CircularAutoregressiveRationalQuadraticSpline(Flow):
             use_residual_blocks=True, random_mask=False,
             permute_mask=permute_mask, activation=activation,
             dropout_probability=dropout_probability, use_batch_norm=False,
-            init_identity=init_identity, dtype=dtype)
+            init_identity=init_identity, mixed_precision=mixed_precision,
+            dtype=dtype)
         return cls(mprqat=mprqat)
 
     def forward(self, z, context=None, key=None):

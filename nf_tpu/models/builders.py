@@ -22,7 +22,8 @@ from ..utils.masks import create_alternating_binary_mask
 
 
 def build_realnvp(key, dim=2, K=64, hidden=None, target=None,
-                  trainable_base=False, scan=False, dtype=jnp.float32):
+                  trainable_base=False, scan=False, mixed_precision=False,
+                  dtype=jnp.float32):
     """Real NVP stack: MaskedAffineFlow + ActNorm pairs
     (reference ``examples/real_nvp.ipynb`` cell 2: K=64, MLP [2,64,64,2],
     zero-init last layer).
@@ -40,6 +41,9 @@ def build_realnvp(key, dim=2, K=64, hidden=None, target=None,
                                            dtype=dtype)
         s = MLP.create(keys[2 * i], layers, init_zeros=True, dtype=dtype)
         t = MLP.create(keys[2 * i + 1], layers, init_zeros=True, dtype=dtype)
+        if mixed_precision:
+            from ..nets import MixedPrecision
+            s, t = MixedPrecision(net=s), MixedPrecision(net=t)
         flows.append(nff.MaskedAffineFlow.create(b, t=t, s=s))
         flows.append(nff.ActNorm.create(dim, dtype=dtype))
     if scan:
@@ -70,7 +74,8 @@ def build_radial_stack(key, dim=2, K=16, target=None):
 
 
 def build_nsf(key, dim=2, K=8, hidden=128, num_bins=8, num_blocks=2,
-              tail_bound=3.0, permutation=True, target=None):
+              tail_bound=3.0, permutation=True, target=None,
+              mixed_precision=False):
     """Coupled RQ-spline NSF with LULinearPermute mixing
     (reference NSF recipes, e.g. ``comparison.ipynb``)."""
     keys = jax.random.split(key, 2 * K)
@@ -79,7 +84,8 @@ def build_nsf(key, dim=2, K=8, hidden=128, num_bins=8, num_blocks=2,
         flows.append(nff.CoupledRationalQuadraticSpline.create(
             keys[2 * i], num_input_channels=dim, num_blocks=num_blocks,
             num_hidden_channels=hidden, num_bins=num_bins,
-            tail_bound=tail_bound, reverse_mask=(i % 2 == 1)))
+            tail_bound=tail_bound, reverse_mask=(i % 2 == 1),
+            mixed_precision=mixed_precision))
         if permutation:
             flows.append(nff.LULinearPermute.create(keys[2 * i + 1], dim))
     q0 = dist.DiagGaussian.create(dim, trainable=False)
@@ -88,7 +94,7 @@ def build_nsf(key, dim=2, K=8, hidden=128, num_bins=8, num_blocks=2,
 
 def build_circular_nsf(key, dim=2, ind_circ=(0,), K=12, hidden=512,
                        num_bins=10, tail_bound=None, target=None,
-                       scale=None):
+                       scale=None, mixed_precision=False):
     """Circular autoregressive NSF on a cylinder — the reference paper
     example (``examples/paper_example_nsf.ipynb`` cell 8: K=12, 512 hidden,
     10 bins, UniformGaussian base, PeriodicWrap)."""
@@ -107,14 +113,16 @@ def build_circular_nsf(key, dim=2, ind_circ=(0,), K=12, hidden=512,
         flows.append(nff.CircularAutoregressiveRationalQuadraticSpline.create(
             keys[i], num_input_channels=dim, num_blocks=1,
             num_hidden_channels=hidden, ind_circ=ind_circ, num_bins=num_bins,
-            tail_bound=tail_bound, permute_mask=True))
+            tail_bound=tail_bound, permute_mask=True,
+            mixed_precision=mixed_precision))
     flows.append(nff.PeriodicWrap.create(ind_circ, bound=np.pi))
     q0 = dist.UniformGaussian.create(dim, ind=ind_circ, scale=scale)
     return core.NormalizingFlow.create(q0, flows, p=target)
 
 
 def build_conditional_nsf(key, dim=2, context_size=4, K=4, hidden=64,
-                          num_bins=8, num_blocks=2, target=None):
+                          num_bins=8, num_blocks=2, target=None,
+                          mixed_precision=False):
     """Conditional coupled-RQS NSF q(x|c): context threads into every
     conditioner and the model container
     (reference ``examples/conditional_flow.ipynb``)."""
@@ -124,20 +132,22 @@ def build_conditional_nsf(key, dim=2, context_size=4, K=4, hidden=64,
         flows.append(nff.CoupledRationalQuadraticSpline.create(
             keys[2 * i], num_input_channels=dim, num_blocks=num_blocks,
             num_hidden_channels=hidden, num_context_channels=context_size,
-            num_bins=num_bins, reverse_mask=(i % 2 == 1)))
+            num_bins=num_bins, reverse_mask=(i % 2 == 1),
+            mixed_precision=mixed_precision))
         flows.append(nff.LULinearPermute.create(keys[2 * i + 1], dim))
     q0 = dist.DiagGaussian.create(dim, trainable=False)
     return core.ConditionalNormalizingFlow.create(q0, flows, p=target)
 
 
-def build_maf(key, dim=2, K=8, hidden=64, num_blocks=2, target=None):
+def build_maf(key, dim=2, K=8, hidden=64, num_blocks=2, target=None,
+              mixed_precision=False):
     """Masked autoregressive flow stack with permutations."""
     keys = jax.random.split(key, 2 * K)
     flows = []
     for i in range(K):
         flows.append(nff.MaskedAffineAutoregressive.create(
             keys[2 * i], features=dim, hidden_features=hidden,
-            num_blocks=num_blocks))
+            num_blocks=num_blocks, mixed_precision=mixed_precision))
         flows.append(nff.Permute.create(keys[2 * i + 1], dim))
     q0 = dist.DiagGaussian.create(dim, trainable=False)
     return core.NormalizingFlow.create(q0, flows, p=target)
@@ -167,7 +177,8 @@ def build_residual(key, dim=2, K=16, hidden=128, n_hidden_layers=3,
 def build_image_nsf(key, input_shape=(3, 32, 32), L=2, K=4,
                     hidden_channels=64, num_bins=8, tail_bound=3.0,
                     num_classes=10, class_cond=False, num_blocks=2,
-                    logit_alpha=0.05, dtype=jnp.float32):
+                    logit_alpha=0.05, mixed_precision=False,
+                    dtype=jnp.float32):
     """Multi-scale neural-spline flow on images: per level, K x
     [ActNorm, LU 1x1-conv, RQS channel coupling with a ConvResidualNet
     conditioner] + Squeeze. The reference ships the pieces (4D spline
@@ -188,9 +199,13 @@ def build_image_nsf(key, input_shape=(3, 32, 32), L=2, K=4,
             mask = np.asarray(create_alternating_binary_mask(
                 ch, even=(j % 2 == 0))) * 2.0 - 1.0  # {-1, 1} channel mask
             def net_fn(k, in_ch, out_ch, _h=hidden_channels):
-                return ConvResidualNet.create(
+                net = ConvResidualNet.create(
                     k, in_ch, out_ch, _h, num_blocks=num_blocks,
                     dtype=dtype)
+                if mixed_precision:
+                    from ..nets import MixedPrecision
+                    net = MixedPrecision(net=net)
+                return net
             flows_.append(nff.ActNorm.create((ch, 1, 1), dtype=dtype))
             flows_.append(nff.Invertible1x1Conv.create(keys[ki], ch,
                                                        use_lu=True,
@@ -221,7 +236,8 @@ def build_glow_multiscale(key, input_shape=(3, 32, 32), L=3, K=16,
                           hidden_channels=256, num_classes=10,
                           class_cond=True, split_mode="channel",
                           scale=True, use_lu=True, logit_alpha=0.05,
-                          scan=False, remat=False, dtype=jnp.float32):
+                          scan=False, remat=False, mixed_precision=False,
+                          dtype=jnp.float32):
     """Multi-scale Glow (reference ``examples/glow.ipynb`` cell 2: L=3,
     K=16, hidden 256, class-conditional base, Logit transform).
 
@@ -237,7 +253,9 @@ def build_glow_multiscale(key, input_shape=(3, 32, 32), L=3, K=16,
         ch = C * 2 ** (L + 1 - i)
         blocks = [nff.GlowBlock.create(keys[ki + j], ch, hidden_channels,
                                        scale=scale, split_mode=split_mode,
-                                       use_lu=use_lu, dtype=dtype)
+                                       use_lu=use_lu,
+                                       mixed_precision=mixed_precision,
+                                       dtype=dtype)
                   for j in range(K)]
         flows_ = ([nff.Scanned.create(blocks, remat=remat)] if scan
                   else blocks)

@@ -8,6 +8,7 @@ from .made import (
     MaskedResidualBlock,
 )
 from .mlp import MLP, Linear, clamp_exp
+from .precision import MixedPrecision
 from .lipschitz import (
     InducedNormConv2d,
     InducedNormLinear,

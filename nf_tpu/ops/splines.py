@@ -108,10 +108,16 @@ def rational_quadratic_spline(
         bin_idx = searchsorted(cumheights, inputs)
     else:
         bin_idx = searchsorted(cumwidths, inputs)
-    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)[..., None]
+    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)
+
+    # One-hot masked sum instead of ``take_along_axis``: XLA lowers the
+    # gather (and, worse, its scatter-add transpose in the backward pass)
+    # to serialized dynamic slices on TPU, while the masked sum is pure
+    # fusable VPU work with a broadcast-multiply gradient.
+    onehot = jax.nn.one_hot(bin_idx, num_bins, dtype=inputs.dtype)
 
     def take(arr):
-        return jnp.take_along_axis(arr, bin_idx, axis=-1)[..., 0]
+        return jnp.sum(arr[..., :num_bins] * onehot, axis=-1)
 
     input_cumwidths = take(cumwidths)
     input_bin_widths = take(widths)

@@ -48,7 +48,18 @@ _BLOCK_ROWS = 32  # (32, 128) f32 planes; VMEM per block ~ (3K+2) * 16 KB
 def _rqs_kernel(x_ref, w_ref, h_ref, d_ref, tb_ref, out_ref, ld_ref, *,
                 num_bins, inverse, min_bin_width, min_bin_height,
                 min_derivative):
-    """One (BR, 128) plane of elements; all bin loops unrolled."""
+    """One (BR, 128) plane of elements; all bin loops unrolled.
+
+    Measured compute-bound on v5e (block size and the XLA-side param
+    transpose don't move it), so the body minimizes VPU op count:
+
+    * bin masks come straight from the bin-search step functions
+      (``mask_k = s_k - s_{k+1}``) — no ``idx`` and no per-bin compare
+      chains in the selects;
+    * softplus runs on the TWO selected boundary derivatives, not all
+      ``K+1`` planes (saves ``2(K-1)`` transcendentals per element);
+    * the softmax min-size floor folds into one fused scale plane.
+    """
     K = num_bins
     x = x_ref[...]
     tb = tb_ref[...]
@@ -62,9 +73,9 @@ def _rqs_kernel(x_ref, w_ref, h_ref, d_ref, tb_ref, out_ref, ld_ref, *,
         total = exps[0]
         for e in exps[1:]:
             total = total + e
-        inv = 1.0 / total
-        scale = 1.0 - min_size * n
-        return [min_size + scale * (e * inv) for e in exps]
+        # min_size + (1 - min_size*n) * softmax  ==  min_size + si * exp_k
+        si = (1.0 - min_size * n) / total
+        return [min_size + e * si for e in exps]
 
     def knots(sizes, lo, hi):
         """Cumulative knots with exact endpoint pinning
@@ -83,34 +94,33 @@ def _rqs_kernel(x_ref, w_ref, h_ref, d_ref, tb_ref, out_ref, ld_ref, *,
         normalized_sizes(w_ref, K, min_bin_width), -tb, tb)
     heights, cumh = knots(
         normalized_sizes(h_ref, K, min_bin_height), -tb, tb)
-    derivs = [min_derivative + jax.nn.softplus(d_ref[k])
-              for k in range(K + 1)]
 
     xin = jnp.clip(x, -tb, tb)
 
-    # compare-and-sum bin search (reference ``splines.py:11-13``): eps only
-    # on the top knot so x == top lands in the last bin.
-    eps = 1e-6
+    # Bin-search step functions on the interior knots
+    # (reference ``splines.py:11-13``); ``xin`` is clipped so the first/last
+    # steps are constant and the bin masks are their successive differences:
+    # mask_k = [c_k <= xin < c_{k+1}] = s_k - s_{k+1}, s_0 = 1, s_K = 0.
     cref = cumh if inverse else cumw
-    idx = jnp.full_like(x, -1.0)
-    for k in range(K + 1):
-        c = cref[k] + eps if k == K else cref[k]
-        idx = idx + (xin >= c).astype(x.dtype)
-    idx = jnp.clip(idx, 0.0, float(K - 1))
+    ones = jnp.ones_like(x)
+    steps = [ones] + [(xin >= cref[k]).astype(x.dtype)
+                      for k in range(1, K)] + [jnp.zeros_like(x)]
+    masks = [steps[k] - steps[k + 1] for k in range(K)]
 
     def select(rows):
-        out = None
-        for k, r in enumerate(rows):
-            term = jnp.where(idx == float(k), r, 0.0)
-            out = term if out is None else out + term
+        out = masks[0] * rows[0]
+        for k in range(1, K):
+            out = out + masks[k] * rows[k]
         return out
 
     in_cw = select(cumw[:K])
     in_w = select(widths)
     in_ch = select(cumh[:K])
     in_h = select(heights)
-    in_d = select(derivs[:K])
-    in_dp1 = select(derivs[1:])
+    in_d = min_derivative + jax.nn.softplus(
+        select([d_ref[k] for k in range(K)]))
+    in_dp1 = min_derivative + jax.nn.softplus(
+        select([d_ref[k + 1] for k in range(K)]))
     in_delta = in_h / in_w
     d_sum = in_d + in_dp1 - 2.0 * in_delta
 

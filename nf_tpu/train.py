@@ -41,26 +41,29 @@ TARGETS = {
 
 def build_model(cfg: TrainConfig, key):
     target = TARGETS[cfg.target]()
-    if cfg.bf16 and cfg.model != "realnvp":
-        raise SystemExit("--bf16 is currently supported for --model realnvp")
+    mp = cfg.bf16  # bf16 conditioner compute, f32 params + flow math
+    if mp and cfg.model == "residual":
+        raise SystemExit(
+            "--bf16 does not cover --model residual: spectral-norm power "
+            "iteration needs f32 to certify the Lipschitz bound")
     if cfg.model == "realnvp":
-        dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
         return models.build_realnvp(key, dim=cfg.dim, K=cfg.num_layers,
                                     hidden=[cfg.hidden, cfg.hidden],
-                                    target=target, dtype=dtype)
+                                    target=target, mixed_precision=mp)
     if cfg.model == "nsf":
         return models.build_nsf(key, dim=cfg.dim, K=cfg.num_layers,
                                 hidden=cfg.hidden, num_bins=cfg.num_bins,
-                                target=target)
+                                target=target, mixed_precision=mp)
     if cfg.model == "circular_nsf":
         return models.build_circular_nsf(key, dim=cfg.dim,
                                          K=cfg.num_layers,
                                          hidden=cfg.hidden,
                                          num_bins=cfg.num_bins,
-                                         target=target)
+                                         target=target, mixed_precision=mp)
     if cfg.model == "maf":
         return models.build_maf(key, dim=cfg.dim, K=cfg.num_layers,
-                                hidden=cfg.hidden, target=target)
+                                hidden=cfg.hidden, target=target,
+                                mixed_precision=mp)
     if cfg.model == "residual":
         return models.build_residual(key, dim=cfg.dim, K=cfg.num_layers,
                                      hidden=cfg.hidden, target=target)

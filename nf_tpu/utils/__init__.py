@@ -33,7 +33,10 @@ from .nn import (
     sum_except_batch,
     tile,
 )
-from .preprocessing import Jitter, Logit as LogitPreprocessing, Scale
+from .preprocessing import Jitter, Logit, Logit as LogitPreprocessing, Scale
+# net-side ActNorm layer (reference exports it as ``utils.ActNorm``,
+# ``normflows/utils/nn.py:27``); the flow-layer ActNorm lives in ``flows``.
+from ..nets.cnn import _NetActNorm as ActNorm  # noqa: F401
 
 # reference-spelling aliases (normflows ``utils.bitsPerDim`` etc.)
 bitsPerDim = bits_per_dim
