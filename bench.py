@@ -52,15 +52,38 @@ def bench_jax():
         (xf, acc), _ = jax.lax.scan(body, (x, 0.0), None, length=N_ITERS)
         return xf, acc
 
+    @jax.jit
+    def run4(x):
+        def body(carry, _):
+            x, acc = carry
+            x2, ld = roundtrip(x)
+            return (x2, acc + jnp.sum(ld)), None
+
+        (xf, acc), _ = jax.lax.scan(body, (x, 0.0), None,
+                                    length=4 * N_ITERS)
+        return xf, acc
+
     x = jax.random.normal(key, (BATCH, DIM))
-    # warmup/compile
+    # warmup/compile both chain lengths
     xf, acc = run(x)
     xf.block_until_ready()
-    t0 = time.perf_counter()
+    run4(x)[0].block_until_ready()
+
+    # Two-point fit wall(R) = C + R*d: the axon relay's fixed ~30 ms
+    # launch overhead C cancels between R and 4R chains, leaving true
+    # per-roundtrip device time (see benchmarks/bench_suite.py docstring).
+    def best(f, tries=3):
+        b = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            f(x)[0].block_until_ready()
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t1, t2 = best(run), best(run4)
+    dt = max((t2 - t1) / (3 * N_ITERS), 1e-12)
     xf, acc = run(x)
-    xf.block_until_ready()
-    dt = time.perf_counter() - t0
-    samples_per_s = BATCH * N_ITERS / dt
+    samples_per_s = BATCH / dt
     return samples_per_s, float(acc)
 
 

@@ -1,9 +1,15 @@
 """Multi-metric TPU benchmark suite.
 
-Methodology: the axon relay under-reports async dispatch loops, so every
-metric chains REPS applications inside ONE jitted ``lax.scan`` (output
-threaded into the next input) and divides wall time by REPS — real device
-time, no dispatch pipelining artifacts.
+Methodology: the axon relay distorts naive timings in BOTH directions —
+async dispatch loops under-report, and every executable launch carries a
+large fixed overhead (measured ~30-35 ms: a trivial Pallas copy kernel
+"takes" the same 2 ms/rep at REPS=16 as the real spline kernel,
+``benchmarks/exp_reps_sweep.py``). So every metric (a) chains REPS
+applications inside ONE jitted ``lax.scan`` with a data dependency, and
+(b) measures TWO chain lengths R and 4R and reports the two-point fit
+``d = (wall(4R) - wall(R)) / 3R`` — the launch overhead C in
+``wall(R) = C + R*d`` cancels exactly, leaving true per-application device
+time.
 
 Writes ``benchmarks/results.json`` and prints one line per metric.
 ``python bench.py`` at the repo root remains the single-line headline the
@@ -32,20 +38,53 @@ def record(name, value, unit, **extra):
     print(f"{name:40s} {value:14.1f} {unit}", flush=True)
 
 
+def _best_wall(fn, x0, tries=3):
+    best = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(x0))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def timed_chain(make_body, x0, reps):
-    """Compile scan(body, x0, length=reps); return seconds per application."""
+    """Two-point scan-chain timing; returns true seconds per application
+    (fixed launch overhead cancelled — see module docstring)."""
 
-    @jax.jit
-    def chain(x):
-        return lax.scan(lambda c, _: (make_body(c), None), x, None,
-                        length=reps)[0]
+    def compile_chain(n):
+        @jax.jit
+        def chain(x):
+            return lax.scan(lambda c, _: (make_body(c), None), x, None,
+                            length=n)[0]
+        return chain
 
-    r = chain(x0)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = chain(x0)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / reps
+    r1, r2 = reps, 4 * reps
+    c1, c2 = compile_chain(r1), compile_chain(r2)
+    jax.block_until_ready(c1(x0))  # compile
+    jax.block_until_ready(c2(x0))
+    t1 = _best_wall(c1, x0)
+    t2 = _best_wall(c2, x0)
+    return max((t2 - t1) / (r2 - r1), 1e-12)
+
+
+def _two_point_steps(one_step, state0, reps):
+    """Two-point timing for a jitted train step driven by a Python loop of
+    async dispatches: wall(R) = C + R*d; the fixed dispatch/launch overhead
+    C cancels between R and 4R."""
+
+    def run(n):
+        best = float("inf")
+        for _ in range(3):
+            s = state0
+            t0 = time.perf_counter()
+            for _ in range(n):
+                s, loss = one_step(s)
+            jax.block_until_ready(loss)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = run(reps), run(4 * reps)
+    return max((t2 - t1) / (3 * reps), 1e-12)
 
 
 def bench_realnvp_roundtrip(batch=1 << 16, K=16, hidden=128, reps=32):
@@ -104,7 +143,8 @@ def bench_maf_logprob(batch=1 << 14, K=8, hidden=128, reps=8):
     record("maf_k8_log_prob", batch / dt, "evals/s")
 
 
-def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4):
+def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4,
+                    mixed_precision=False):
     import optax
 
     from nf_tpu.parallel import init_train_state, make_forward_kld_step
@@ -112,7 +152,8 @@ def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4):
     key = jax.random.PRNGKey(0)
     model = models.build_glow_multiscale(key, input_shape=(3, 32, 32),
                                          L=L, K=K, hidden_channels=hidden,
-                                         scan=True)
+                                         scan=True,
+                                         mixed_precision=mixed_precision)
     x = jax.random.uniform(key, (batch, 3, 32, 32), minval=0.01,
                            maxval=0.99)
     y = jnp.zeros((batch,), jnp.int32)
@@ -123,12 +164,9 @@ def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4):
 
     state, loss = step(state, (x, y))   # compile
     jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state, loss = step(state, (x, y))
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / reps
-    record("glow_l2_k8_train_step", batch / dt, "images/s",
+    dt = _two_point_steps(lambda s: step(s, (x, y)), state, reps)
+    suffix = "_bf16" if mixed_precision else ""
+    record(f"glow_l2_k8_train_step{suffix}", batch / dt, "images/s",
            loss=float(loss))
 
 
@@ -148,22 +186,22 @@ def bench_image_nsf_step(batch=64, L=2, K=4, hidden=64, reps=8):
     step = make_forward_kld_step(static, opt)
     state, loss = step(state, x)
     jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state, loss = step(state, x)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / reps
+    dt = _two_point_steps(lambda s: step(s, x), state, reps)
     record("image_nsf_l2_k4_train_step", batch / dt, "images/s",
            loss=float(loss))
 
 
 def main():
+    from nf_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     bench_realnvp_roundtrip()
     bench_spline()
     bench_nsf_sample_logprob()
     bench_maf_logprob()
     bench_glow_step()
+    bench_glow_step(mixed_precision=True)
     bench_image_nsf_step()
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
