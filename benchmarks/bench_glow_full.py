@@ -1,0 +1,46 @@
+"""Full reference Glow recipe (L=3 K=16 h=256, b=128) train-step timing,
+f32 and bf16-mixed-precision, with two-point launch-overhead cancellation."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import nf_tpu.models as models
+from bench_suite import _two_point_steps, record
+from nf_tpu.parallel import init_train_state, make_forward_kld_step
+from nf_tpu.utils.profiling import enable_compilation_cache
+
+
+def run(mixed_precision, batch=128, L=3, K=16, hidden=256, reps=8):
+    key = jax.random.PRNGKey(0)
+    model = models.build_glow_multiscale(
+        key, input_shape=(3, 32, 32), L=L, K=K, hidden_channels=hidden,
+        scan=True, mixed_precision=mixed_precision)
+    x = jax.random.uniform(key, (batch, 3, 32, 32), minval=0.01, maxval=0.99)
+    y = jnp.zeros((batch,), jnp.int32)
+    model = model.init_from_data(x, y)
+    opt = optax.adamax(1e-3)
+    state, static = init_train_state(model, opt)
+    step = make_forward_kld_step(static, opt)
+    state, loss = step(state, (x, y))
+    jax.block_until_ready(loss)
+    dt = _two_point_steps(lambda s: step(s, (x, y)), state, reps)
+    suffix = "_bf16" if mixed_precision else ""
+    record(f"glow_full_l3_k16_h256_train_step{suffix}", batch / dt,
+           "images/s", ms_per_step=dt * 1e3, loss=float(loss))
+
+
+def main():
+    enable_compilation_cache()
+    print("backend:", jax.default_backend(), flush=True)
+    run(False)
+    run(True)
+
+
+if __name__ == "__main__":
+    main()

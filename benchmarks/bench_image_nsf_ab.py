@@ -1,0 +1,46 @@
+"""Image-NSF train step: fused-Pallas vs gather-free dense spline A/B
+(same model/params), two-point launch-overhead cancellation."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import optax
+
+import nf_tpu.models as models
+from bench_suite import _two_point_steps, record
+from nf_tpu.ops import splines
+from nf_tpu.parallel import init_train_state, make_forward_kld_step
+from nf_tpu.utils.profiling import enable_compilation_cache
+
+
+def run(use_pallas, batch=64, L=2, K=4, hidden=64, reps=8):
+    splines.set_pallas_enabled(use_pallas)
+    key = jax.random.PRNGKey(0)
+    model = models.build_image_nsf(key, input_shape=(3, 32, 32), L=L, K=K,
+                                   hidden_channels=hidden)
+    x = jax.random.uniform(key, (batch, 3, 32, 32), minval=0.01, maxval=0.99)
+    model = model.init_from_data(x)
+    opt = optax.adam(1e-3)
+    state, static = init_train_state(model, opt)
+    step = make_forward_kld_step(static, opt)
+    state, loss = step(state, x)
+    jax.block_until_ready(loss)
+    dt = _two_point_steps(lambda s: step(s, x), state, reps)
+    name = "pallas" if use_pallas else "dense"
+    record(f"image_nsf_l2_k4_train_step_{name}", batch / dt, "images/s",
+           ms_per_step=dt * 1e3)
+    splines.set_pallas_enabled(True)
+
+
+def main():
+    enable_compilation_cache()
+    print("backend:", jax.default_backend(), flush=True)
+    run(True)
+    run(False)
+
+
+if __name__ == "__main__":
+    main()
