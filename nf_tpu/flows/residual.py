@@ -39,6 +39,69 @@ def _batch_dot(a, b):
                    axis=1)
 
 
+def _fp_solve(block, y, atol=1e-5, rtol=1e-5):
+    """Banach fixed-point iteration for ``x = y - g(x)``
+    (reference ``residual.py:133-142``)."""
+    tol = atol + jnp.abs(y) * rtol
+
+    def cond(state):
+        x, x_prev, i = state
+        not_conv = jnp.any((x - x_prev) ** 2 / tol >= 1)
+        return jnp.logical_and(not_conv, i <= 1000)
+
+    def body(state):
+        x, _, i = state
+        return y - block.nnet(x), x, i + 1
+
+    x0 = y - block.nnet(y)
+    x, _, _ = jax.lax.while_loop(cond, body, (x0, y, jnp.asarray(0)))
+    return x
+
+
+@jax.custom_vjp
+def _fp_inverse(block, y):
+    return _fp_solve(block, y)
+
+
+def _fp_inverse_fwd(block, y):
+    x = _fp_solve(block, y)
+    return x, (block, x)
+
+
+def _fp_inverse_bwd(res, u):
+    """Implicit-function-theorem VJP through the fixed point.
+
+    ``x`` satisfies ``x = y - g(x; θ)``, so ``(I + J_g) dx = dy - dθ·∂g/∂θ``
+    and the cotangent solve is ``v = (I + J_g)^{-T} u``, obtained by the
+    same Banach iteration ``v ← u − J_gᵀ v`` (contraction because
+    ``Lip(g) < 1``). Then ``ȳ = v`` and ``θ̄ = −(∂g/∂θ)ᵀ v``. The reference
+    has no reverse-mode path through its inverse at all (its fixed-point
+    loop runs under ``torch.no_grad()``, ``residual.py:133-142``) — this
+    enables reverse-KLD training of residual flows.
+    """
+    block, x = res
+    _, vjp_fn = jax.vjp(lambda b, xx: b.nnet(xx), block, x)
+    tol = 1e-6 + jnp.abs(u) * 1e-6
+
+    def cond(state):
+        v, v_prev, i = state
+        not_conv = jnp.any((v - v_prev) ** 2 / tol >= 1)
+        return jnp.logical_and(not_conv, i <= 1000)
+
+    def body(state):
+        v, _, i = state
+        return u - vjp_fn(v)[1], v, i + 1
+
+    v0 = u - vjp_fn(u)[1]
+    v, _, _ = jax.lax.while_loop(cond, body, (v0, u, jnp.asarray(0)))
+    block_bar = vjp_fn(v)[0]
+    block_bar = jax.tree_util.tree_map(jnp.negative, block_bar)
+    return block_bar, v
+
+
+_fp_inverse.defvjp(_fp_inverse_fwd, _fp_inverse_bwd)
+
+
 def geometric_1mcdf(p, k, offset):
     """P(n >= k) for the geometric with support {1,2,...}
     (reference ``residual.py:398-404``)."""
@@ -111,22 +174,11 @@ class iResBlock(Module):
             return x
         return x, logpy + self._logdetgrad(x, key)[1]
 
-    def _inverse_fixed_point(self, y, atol=1e-5, rtol=1e-5):
-        """Banach fixed-point iteration (reference ``residual.py:133-142``)."""
-        tol = atol + jnp.abs(y) * rtol
-
-        def cond(state):
-            x, x_prev, i = state
-            not_conv = jnp.any((x - x_prev) ** 2 / tol >= 1)
-            return jnp.logical_and(not_conv, i <= 1000)
-
-        def body(state):
-            x, _, i = state
-            return y - self.nnet(x), x, i + 1
-
-        x0 = y - self.nnet(y)
-        x, _, _ = jax.lax.while_loop(cond, body, (x0, y, jnp.asarray(0)))
-        return x
+    def _inverse_fixed_point(self, y):
+        """Fixed-point inverse with an implicit-diff custom VJP, so the
+        inverse direction is reverse-mode differentiable (see
+        :func:`_fp_inverse_bwd`)."""
+        return _fp_inverse(self, y)
 
     # --- log-det estimators ---------------------------------------------------
 

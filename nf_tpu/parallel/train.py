@@ -176,13 +176,18 @@ def _apply_updates(params, updates):
 def make_reverse_kld_step(static, optimizer, mesh: Mesh,
                           num_samples: int, beta_schedule=None,
                           score_fn=True, axis: str = "data",
-                          donate: bool = False):
+                          donate: bool = False, post_update=None):
     """Build a jitted sample-parallel VI step with explicit collectives.
 
     Each device draws ``num_samples // n_devices`` samples from a key folded
     with its mesh position, computes the local reverse KLD and its grads,
     and psums both over the ``data`` axis.  ``beta_schedule(step) -> beta``
     enables the reference's annealing (``core.py:104``).
+
+    ``post_update(model) -> model`` runs inside the step after the optimizer
+    update (e.g. ``update_lipschitz`` for residual flows — whose inverse is
+    reverse-mode differentiable here via the implicit-diff fixed point);
+    requires ``init_train_state(..., carry_buffers=True)``.
 
     Returns ``step(state, key) -> (state, loss)``.
     """
@@ -221,8 +226,18 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = _apply_updates(state.params, updates)
+        buffers = state.buffers
+        if post_update is not None:
+            if buffers is None:
+                raise ValueError(
+                    "post_update mutates buffer state: build the state with "
+                    "init_train_state(..., carry_buffers=True) so the "
+                    "updates persist instead of being dropped with the "
+                    "static closure.")
+            params, buffers = apply_post_update(params, buffers, static,
+                                                post_update)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1, buffers=state.buffers), loss
+                          step=state.step + 1, buffers=buffers), loss
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     repl = replicated(mesh)

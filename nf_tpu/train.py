@@ -80,12 +80,6 @@ def main(argv=None):
     mesh = make_mesh(("data",))
     print(f"mesh: {mesh.shape} on {jax.default_backend()}")
 
-    if cfg.model == "residual" and cfg.loss == "reverse_kld":
-        raise SystemExit(
-            "--model residual requires --loss forward_kld: the reverse-KLD "
-            "gradient cannot differentiate through the iResBlock "
-            "fixed-point inverse (lax.while_loop has no reverse mode).")
-
     key, sub = jax.random.split(key)
     model = build_model(cfg, sub)
     key, sub = jax.random.split(key)
@@ -99,7 +93,7 @@ def main(argv=None):
 
     opt = (optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
            if cfg.weight_decay else optax.adam(cfg.lr))
-    carry_buffers = cfg.model == "residual" and cfg.loss == "forward_kld"
+    carry_buffers = cfg.model == "residual"
     state, static = init_train_state(model, opt,
                                      carry_buffers=carry_buffers)
 
@@ -114,13 +108,21 @@ def main(argv=None):
 
     logger = MetricLogger(cfg.log_path) if cfg.log_path else None
 
+    is_residual = cfg.model == "residual"
+    post = None
+    if is_residual:
+        from .utils.optim import update_lipschitz
+
+        post = lambda m: update_lipschitz(m, 50)
+
     if cfg.loss == "reverse_kld":
         anneal = cfg.beta_anneal_iters
         beta = ((lambda s: jnp.minimum(1.0, 0.01 + s / anneal)) if anneal
                 else (lambda s: 1.0))
         step_fn = make_reverse_kld_step(static, opt, mesh,
                                         num_samples=cfg.num_samples,
-                                        beta_schedule=beta)
+                                        beta_schedule=beta,
+                                        post_update=post)
 
         def run_step(state, key):
             return step_fn(state, key)
@@ -128,12 +130,6 @@ def main(argv=None):
         from .parallel.train import model_of_state
 
         target = model_of_state(state, static).p
-        is_residual = cfg.model == "residual"
-        post = None
-        if is_residual:
-            from .utils.optim import update_lipschitz
-
-            post = lambda m: update_lipschitz(m, 50)
         mle_step = make_forward_kld_step(static, opt, mesh=mesh,
                                          with_key=is_residual,
                                          post_update=post)

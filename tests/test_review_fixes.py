@@ -27,11 +27,16 @@ def test_train_config_numeric_flags_parse():
     assert cfg2.bf16 is True
 
 
-def test_train_binary_rejects_residual_reverse_kld():
+def test_train_binary_residual_reverse_kld_runs():
+    """Residual + reverse KLD now trains (implicit-diff fixed-point VJP);
+    the former gate (SystemExit) is gone."""
     from nf_tpu import train
 
-    with pytest.raises(SystemExit):
-        train.main(["--model", "residual", "--iters", "1"])
+    state = train.main(["--model", "residual", "--iters", "2",
+                        "--num_layers", "1", "--hidden", "16",
+                        "--num_samples", "64"])
+    assert int(state.step) == 2
+    assert state.buffers is not None  # update_lipschitz ran in-step
 
 
 def test_glow_block_odd_channels():
