@@ -1,0 +1,83 @@
+"""Input pipeline: ArrayDataset batching, prefetch_to_device, sharded
+transfer on the virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nf_tpu.data import ArrayDataset, load_npz_images, prefetch_to_device
+from nf_tpu.parallel import make_mesh
+from nf_tpu.parallel.mesh import data_sharding
+
+
+def test_array_dataset_batching_and_shuffle():
+    x = np.arange(100, dtype=np.float32).reshape(100, 1)
+    y = np.arange(100)
+    ds = ArrayDataset(x, y, batch_size=32, shuffle=True, seed=1)
+    assert len(ds) == 3
+    batches = list(ds)
+    assert len(batches) == 3
+    xs = np.concatenate([b[0] for b in batches])[:, 0]
+    ys = np.concatenate([b[1] for b in batches])
+    assert (xs == ys).all()  # pairing preserved under shuffle
+    assert not (ys == np.arange(96)).all()  # actually shuffled
+    # second epoch reshuffles differently
+    ys2 = np.concatenate([b[1] for b in ds])
+    assert not (ys == ys2).all()
+
+
+def test_array_dataset_drop_last_and_transform():
+    x = np.ones((10, 2), np.float32)
+    ds = ArrayDataset(x, batch_size=4, shuffle=False, drop_last=False,
+                      transform=lambda b: (b[0] * 2,))
+    sizes = [b.shape[0] for b in ds]
+    assert sizes == [4, 4, 2]
+    assert float(next(iter(ds)).max()) == 2.0
+
+
+def test_epochs_stream():
+    ds = ArrayDataset(np.arange(8), batch_size=4, shuffle=False)
+    stream = list(ds.epochs(3))
+    assert len(stream) == 6
+
+
+def test_prefetch_to_device_values_and_order():
+    ds = ArrayDataset(np.arange(24, dtype=np.float32), batch_size=8,
+                      shuffle=False)
+    got = list(prefetch_to_device(iter(ds), size=2))
+    assert len(got) == 3
+    assert all(isinstance(g, jax.Array) for g in got)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(g) for g in got]), np.arange(24))
+
+
+def test_prefetch_propagates_errors():
+    def bad():
+        yield np.zeros(2)
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(bad(), size=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_prefetch_sharded_on_mesh():
+    mesh = make_mesh(("data",))
+    ds = ArrayDataset(np.arange(64, dtype=np.float32).reshape(16, 4),
+                      batch_size=8, shuffle=False)
+    sh = data_sharding(mesh, 2)
+    got = list(prefetch_to_device(iter(ds), size=2, sharding=sh))
+    assert got[0].sharding.is_equivalent_to(sh, 2)
+    # batch rows land split over the 8 virtual devices
+    assert len(got[0].addressable_shards) == 8
+
+
+def test_load_npz_images(tmp_path):
+    p = str(tmp_path / "d.npz")
+    np.savez(p, x=np.full((4, 3, 2, 2), 128, np.uint8),
+             y=np.arange(4))
+    x, y = load_npz_images(p)
+    assert x.dtype == np.float32 and abs(float(x[0, 0, 0, 0]) - 0.5) < 1e-6
+    assert (y == np.arange(4)).all()
