@@ -100,6 +100,29 @@ def main():
         state2, loss = mle_step(state2, x)
         if it % max(1, args.iters // 10) == 0:
             print(f"[forward_kld] iter {it:5d} loss {float(loss):+.4f}")
+
+    # host data pipeline -> mesh: batches land pre-sharded over the data
+    # axis via the background prefetch thread (nf_tpu.data)
+    from nf_tpu.data import ArrayDataset, prefetch_to_device
+    from nf_tpu.parallel.mesh import data_sharding
+
+    rng = np.random.default_rng(args.seed)
+    n_img = 8 * max(1, len(devices))
+    x_all = rng.random((n_img * 4, 3, 8, 8), np.float32) * 0.98 + 0.01
+    ds = ArrayDataset(x_all, batch_size=n_img, shuffle=True)
+    img_model = models.build_image_nsf(
+        jax.random.PRNGKey(1), input_shape=(3, 8, 8), L=1, K=2,
+        hidden_channels=16)
+    img_model = img_model.init_from_data(jnp.asarray(next(iter(ds))))
+    state3, static3 = init_train_state(img_model, opt)
+    img_step = make_forward_kld_step(static3, opt, mesh=mesh)
+    steps = 0
+    for batch in prefetch_to_device(ds.epochs(2), size=2,
+                                    sharding=data_sharding(mesh, 4)):
+        state3, loss = img_step(state3, batch)
+        steps += 1
+    print(f"[pipeline] {steps} prefetched sharded image batches, "
+          f"last loss {float(loss):.1f}")
     print("done")
 
 

@@ -157,9 +157,10 @@ def main(argv=None):
             if logger is not None:
                 logger.log(it, loss=loss_f, it_per_s=rate)
         if ckpt is not None and (it + 1) % cfg.checkpoint_every == 0:
-            ckpt.save(it + 1, state)
+            ckpt.save(it + 1, state, wait=False)  # overlap write with steps
     if ckpt is not None:
         ckpt.save(cfg.iters, state)
+        ckpt.wait_until_finished()
     if logger is not None:
         logger.close()
     print(f"done: {cfg.iters - start_step} steps in {time.time() - t0:.1f}s")

@@ -77,9 +77,20 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
 
-    def save(self, step, state):
-        """Save a pytree training state at ``step``."""
+    def save(self, step, state, wait=True):
+        """Save a pytree training state at ``step``.
+
+        ``wait=False`` returns as soon as the device arrays are snapshotted
+        and lets orbax write to disk in the background (overlaps
+        checkpointing with the next training steps — call
+        :meth:`wait_until_finished` before exiting). Safe as long as the
+        training step does not donate the state buffers."""
         self.manager.save(step, args=self._ocp.args.StandardSave(state))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def wait_until_finished(self):
+        """Block until all pending async saves are durable on disk."""
         self.manager.wait_until_finished()
 
     def restore(self, template, step=None):

@@ -56,6 +56,20 @@ def test_checkpoint_manager_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_manager_async_save(tmp_path):
+    model = build_realnvp(KEY, dim=2, K=2, hidden=[8])
+    opt = optax.adam(1e-3)
+    state, static = init_train_state(model, opt)
+    mgr = CheckpointManager(os.path.join(tmp_path, "ckpt"))
+    mgr.save(1, state, wait=False)  # async write overlapping "training"
+    state2 = state.replace(step=state.step + 1)
+    mgr.save(2, state2, wait=False)
+    mgr.wait_until_finished()
+    restored, step = mgr.restore(state)
+    assert step == 2
+    assert int(restored.step) == 1
+
+
 def test_named_flow_wrapper():
     inner = nff.ActNorm.create(2)
     flow = Named.create(inner, "actnorm0")
