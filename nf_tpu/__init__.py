@@ -7,7 +7,17 @@ spline flows, residual flows, and stochastic normalizing flows — all as pure
 pytree programs that jit-compile and shard over TPU meshes.
 """
 
-from . import data, distributions, flows, nets, ops, sampling, transforms, utils
+from . import (
+    data,
+    distributions,
+    flows,
+    nets,
+    ops,
+    sampling,
+    serving,
+    transforms,
+    utils,
+)
 from .core import (
     ClassCondFlow,
     ConditionalNormalizingFlow,
