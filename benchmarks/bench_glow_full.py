@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import optax
 
 import nf_tpu.models as models
-from bench_suite import _two_point_steps, record
+from bench_suite import _step_flops, _two_point_steps, record
 from nf_tpu.parallel import init_train_state, make_forward_kld_step
 from nf_tpu.utils.profiling import enable_compilation_cache
 
@@ -31,8 +31,10 @@ def run(mixed_precision, batch=128, L=3, K=16, hidden=256, reps=8):
     jax.block_until_ready(loss)
     dt = _two_point_steps(lambda s: step(s, (x, y)), state, reps)
     suffix = "_bf16" if mixed_precision else ""
+    fl = _step_flops(step, state, (x, y))
+    extra = {"tflops_per_s": round(fl / dt / 1e12, 2)} if fl else {}
     record(f"glow_full_l3_k16_h256_train_step{suffix}", batch / dt,
-           "images/s", ms_per_step=dt * 1e3, loss=float(loss))
+           "images/s", ms_per_step=dt * 1e3, loss=float(loss), **extra)
 
 
 def main():

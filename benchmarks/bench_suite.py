@@ -67,6 +67,17 @@ def timed_chain(make_body, x0, reps):
     return max((t2 - t1) / (r2 - r1), 1e-12)
 
 
+def _step_flops(step_fn, *args):
+    """FLOPs of one compiled train step from XLA cost analysis (None if the
+    backend doesn't report them)."""
+    try:
+        c = jax.jit(step_fn).lower(*args).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else c
+        return float(c.get("flops")) if c else None
+    except Exception:
+        return None
+
+
 def _two_point_steps(one_step, state0, reps):
     """Two-point timing for a jitted train step driven by a Python loop of
     async dispatches: wall(R) = C + R*d; the fixed dispatch/launch overhead
@@ -143,6 +154,43 @@ def bench_maf_logprob(batch=1 << 14, K=8, hidden=128, reps=8):
     record("maf_k8_log_prob", batch / dt, "evals/s")
 
 
+def bench_hais(chains=1 << 13, n_anneal=16, reps=4):
+    """Stochastic-NF sampling throughput: HAIS chains/s (annealed HMC over
+    a LinearInterpolation bridge; reference ``sampling/hais.py``)."""
+    import numpy as np
+
+    from nf_tpu.distributions import DiagGaussian, TwoModes
+    from nf_tpu.sampling import HAIS
+
+    hais = HAIS.create(np.linspace(1.0, 0.0, n_anneal + 1),
+                       DiagGaussian.create(2, trainable=False), TwoModes(),
+                       num_leapfrog=5, step_size=[0.1, 0.1],
+                       log_mass=[0.0, 0.0])
+
+    def compile_chain(n):
+        @jax.jit
+        def run(key):
+            def body(k, _):
+                k, sub = jax.random.split(k)
+                z, log_w = hais.sample(sub, chains)
+                # fold the result into the carried key for a data dependency
+                k = jax.random.fold_in(k, (jnp.sum(log_w) > 0).astype(
+                    jnp.int32))
+                return k, None
+            return lax.scan(body, key, None, length=n)[0]
+        return run
+
+    key = jax.random.PRNGKey(0)
+    c1, c2 = compile_chain(reps), compile_chain(4 * reps)
+    jax.block_until_ready(c1(key))
+    jax.block_until_ready(c2(key))
+    t1 = _best_wall(c1, key)
+    t2 = _best_wall(c2, key)
+    dt = max((t2 - t1) / (3 * reps), 1e-12)
+    record("hais_16step_hmc_sampling", chains / dt, "chains/s",
+           chains=chains, anneal_steps=n_anneal)
+
+
 def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4,
                     mixed_precision=False):
     import optax
@@ -166,8 +214,10 @@ def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4,
     jax.block_until_ready(loss)
     dt = _two_point_steps(lambda s: step(s, (x, y)), state, reps)
     suffix = "_bf16" if mixed_precision else ""
+    fl = _step_flops(step, state, (x, y))
+    extra = {"tflops_per_s": round(fl / dt / 1e12, 2)} if fl else {}
     record(f"glow_l2_k8_train_step{suffix}", batch / dt, "images/s",
-           loss=float(loss))
+           loss=float(loss), **extra)
 
 
 def bench_image_nsf_step(batch=64, L=2, K=4, hidden=64, reps=8):
@@ -187,8 +237,10 @@ def bench_image_nsf_step(batch=64, L=2, K=4, hidden=64, reps=8):
     state, loss = step(state, x)
     jax.block_until_ready(loss)
     dt = _two_point_steps(lambda s: step(s, x), state, reps)
+    fl = _step_flops(step, state, x)
+    extra = {"tflops_per_s": round(fl / dt / 1e12, 2)} if fl else {}
     record("image_nsf_l2_k4_train_step", batch / dt, "images/s",
-           loss=float(loss))
+           loss=float(loss), **extra)
 
 
 def main():
@@ -200,6 +252,7 @@ def main():
     bench_spline()
     bench_nsf_sample_logprob()
     bench_maf_logprob()
+    bench_hais()
     bench_glow_step()
     bench_glow_step(mixed_precision=True)
     bench_image_nsf_step()
