@@ -81,7 +81,12 @@ def bench_jax():
         return b
 
     t1, t2 = best(run), best(run4)
-    dt = max((t2 - t1) / (3 * N_ITERS), 1e-12)
+    dt = (t2 - t1) / (3 * N_ITERS)
+    if dt <= 0:
+        # relay noise swamped the extra reps: report the conservative
+        # wall/reps upper bound (includes launch overhead) instead of an
+        # absurd clamped number
+        dt = t2 / (4 * N_ITERS)
     xf, acc = run(x)
     samples_per_s = BATCH / dt
     return samples_per_s, float(acc)

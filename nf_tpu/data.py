@@ -75,6 +75,11 @@ class ArrayDataset:
 
     def epochs(self, n: Optional[int] = None) -> Iterator:
         """Chain ``n`` epochs (infinite if ``None``) into one stream."""
+        if len(self) == 0:
+            raise ValueError(
+                f"dataset yields 0 batches (n={self._n} < batch_size="
+                f"{self.batch_size} with drop_last): epochs() would spin "
+                "forever")
         done = 0
         while n is None or done < n:
             yield from self
@@ -97,6 +102,7 @@ def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):
     if size < 1:
         raise ValueError("prefetch size must be >= 1")
     q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
 
     def put(batch):
         if sharding is None:
@@ -104,24 +110,45 @@ def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), batch)
 
+    def enqueue(item) -> bool:
+        """Blocking put that aborts when the consumer went away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                if stop.is_set() or not enqueue(put(batch)):
+                    return
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put(e)
+            enqueue(e)
             return
-        q.put(_SENTINEL)
+        enqueue(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer stopped (break / exception / close): release the worker
+        # and drop any device-resident batches it had queued
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def load_npz_images(path: str, keys: Sequence[str] = ("x", "y"),

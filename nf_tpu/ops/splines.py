@@ -113,11 +113,13 @@ def rational_quadratic_spline(
     # One-hot masked sum instead of ``take_along_axis``: XLA lowers the
     # gather (and, worse, its scatter-add transpose in the backward pass)
     # to serialized dynamic slices on TPU, while the masked sum is pure
-    # fusable VPU work with a broadcast-multiply gradient.
-    onehot = jax.nn.one_hot(bin_idx, num_bins, dtype=inputs.dtype)
+    # fusable VPU work with a select gradient. ``where`` (not multiply)
+    # keeps a non-finite value in an UNselected bin from poisoning every
+    # element via 0*inf=NaN — matching the old gather's locality.
+    onehot = bin_idx[..., None] == jnp.arange(num_bins)
 
     def take(arr):
-        return jnp.sum(arr[..., :num_bins] * onehot, axis=-1)
+        return jnp.sum(jnp.where(onehot, arr[..., :num_bins], 0), axis=-1)
 
     input_cumwidths = take(cumwidths)
     input_bin_widths = take(widths)

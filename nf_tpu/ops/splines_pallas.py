@@ -105,12 +105,14 @@ def _rqs_kernel(x_ref, w_ref, h_ref, d_ref, tb_ref, out_ref, ld_ref, *,
     ones = jnp.ones_like(x)
     steps = [ones] + [(xin >= cref[k]).astype(x.dtype)
                       for k in range(1, K)] + [jnp.zeros_like(x)]
-    masks = [steps[k] - steps[k + 1] for k in range(K)]
+    # boolean one-hot masks; where-select (not multiply) so a non-finite
+    # value in an unselected bin cannot poison other elements via 0*inf
+    masks = [(steps[k] - steps[k + 1]) > 0.5 for k in range(K)]
 
     def select(rows):
-        out = masks[0] * rows[0]
+        out = jnp.where(masks[0], rows[0], 0.0)
         for k in range(1, K):
-            out = out + masks[k] * rows[k]
+            out = out + jnp.where(masks[k], rows[k], 0.0)
         return out
 
     in_cw = select(cumw[:K])

@@ -29,10 +29,9 @@ from .utils.module import combine, partition
 class CompiledFn:
     """An AOT-compiled executable plus its bound parameters."""
 
-    def __init__(self, compiled, params, n_fixed_args):
+    def __init__(self, compiled, params):
         self._compiled = compiled
         self._params = params
-        self._n_fixed = n_fixed_args
 
     def __call__(self, *args):
         return self._compiled(self._params, *args)
@@ -40,7 +39,7 @@ class CompiledFn:
     def with_model(self, model) -> "CompiledFn":
         """Rebind to updated parameters (same structure) — no recompile."""
         params, _ = partition(model)
-        return CompiledFn(self._compiled, params, self._n_fixed)
+        return CompiledFn(self._compiled, params)
 
     def cost_analysis(self):
         """XLA cost analysis dict (``flops``, ``bytes accessed``, ...)."""
@@ -54,33 +53,52 @@ class CompiledFn:
         return self._compiled.memory_analysis()
 
 
-def _aot(fn: Callable, params, *arg_specs, donate_params=False) -> Any:
-    jitted = jax.jit(fn, donate_argnums=(0,) if donate_params else ())
-    lowered = jitted.lower(params, *arg_specs)
-    return lowered.compile()
+def _aot(fn: Callable, params, *arg_specs) -> Any:
+    return jax.jit(fn).lower(params, *arg_specs).compile()
+
+
+def _key_spec(typed_key: bool):
+    """AOT argument spec for the PRNG key.
+
+    Default is a legacy raw ``(2,) uint32`` key (``jax.random.PRNGKey``);
+    pass ``typed_key=True`` to compile for the modern typed keys from
+    ``jax.random.key`` instead — the two are different argument structures
+    and an executable accepts only the one it was compiled for.
+    """
+    mk = (lambda: jax.random.key(0)) if typed_key \
+        else (lambda: jax.random.PRNGKey(0))
+    return jax.eval_shape(mk)
 
 
 def compile_sampler(model, num_samples: int,
                     temperature: Optional[float] = None,
                     context_shape: Optional[Tuple[int, ...]] = None,
-                    dtype=jnp.float32) -> CompiledFn:
+                    dtype=jnp.float32, typed_key: bool = False) -> CompiledFn:
     """AOT-compile ``sample``: returns ``CompiledFn(key[, context])``.
 
     ``temperature`` is baked into the executable when given (models without
     temperature support simply ignore it being None). ``context_shape`` is
     the per-call context array shape for conditional models (leading dim
-    must broadcast against ``num_samples``).
+    must broadcast against ``num_samples``); the conditional containers
+    take no temperature, so combining the two raises. ``typed_key`` selects
+    which key flavor the executable accepts (see :func:`_key_spec`).
     """
     params, static = partition(model)
+    key_spec = _key_spec(typed_key)
 
     if context_shape is not None:
+        if temperature is not None:
+            raise ValueError(
+                "temperature is not supported together with context_shape: "
+                "conditional containers sample at temperature 1; build the "
+                "sampler without temperature or rescale the base instead")
+
         def fn(p, key, context):
             m = combine(p, static)
             return m.sample(key, num_samples, context=context)
-        key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
         ctx_spec = jax.ShapeDtypeStruct(context_shape, dtype)
-        compiled = _aot(fn, params, key_spec, ctx_spec)
-        return CompiledFn(compiled, params, 1)
+        return CompiledFn(_aot(fn, params, key_spec, ctx_spec), params)
 
     if temperature is not None:
         def fn(p, key):
@@ -90,9 +108,7 @@ def compile_sampler(model, num_samples: int,
         def fn(p, key):
             m = combine(p, static)
             return m.sample(key, num_samples)
-    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
-    compiled = _aot(fn, params, key_spec)
-    return CompiledFn(compiled, params, 1)
+    return CompiledFn(_aot(fn, params, key_spec), params)
 
 
 def compile_log_prob(model, batch_shape: Tuple[int, ...],
@@ -105,11 +121,10 @@ def compile_log_prob(model, batch_shape: Tuple[int, ...],
     if context_shape is not None:
         def fn(p, x, context):
             return combine(p, static).log_prob(x, context=context)
+
         ctx_spec = jax.ShapeDtypeStruct(context_shape, dtype)
-        compiled = _aot(fn, params, x_spec, ctx_spec)
-        return CompiledFn(compiled, params, 2)
+        return CompiledFn(_aot(fn, params, x_spec, ctx_spec), params)
 
     def fn(p, x):
         return combine(p, static).log_prob(x)
-    compiled = _aot(fn, params, x_spec)
-    return CompiledFn(compiled, params, 1)
+    return CompiledFn(_aot(fn, params, x_spec), params)

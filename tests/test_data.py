@@ -74,6 +74,31 @@ def test_prefetch_sharded_on_mesh():
     assert len(got[0].addressable_shards) == 8
 
 
+def test_epochs_raises_on_empty_dataset():
+    ds = ArrayDataset(np.arange(4), batch_size=8)  # 0 batches w/ drop_last
+    with pytest.raises(ValueError, match="0 batches"):
+        next(ds.epochs())
+
+
+def test_prefetch_early_break_stops_worker():
+    import threading
+
+    before = threading.active_count()
+    ds = ArrayDataset(np.arange(1024, dtype=np.float32), batch_size=8,
+                      shuffle=False)
+    for i, _ in enumerate(prefetch_to_device(ds.epochs(), size=2)):
+        if i == 1:
+            break
+    # generator finalizer sets the stop event; the worker exits promptly
+    import time
+
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before
+
+
 def test_load_npz_images(tmp_path):
     p = str(tmp_path / "d.npz")
     np.savez(p, x=np.full((4, 3, 2, 2), 128, np.uint8),

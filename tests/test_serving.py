@@ -64,6 +64,24 @@ def test_compiled_conditional_log_prob():
                                atol=1e-5)
 
 
+def test_temperature_with_context_raises():
+    import pytest
+
+    key = jax.random.PRNGKey(5)
+    model = models.build_conditional_nsf(key, dim=2, context_size=3, K=2,
+                                         hidden=16)
+    with pytest.raises(ValueError, match="temperature"):
+        compile_sampler(model, 8, temperature=0.7, context_shape=(8, 3))
+
+
+def test_typed_key_sampler():
+    key = jax.random.PRNGKey(6)
+    model = models.build_realnvp(key, dim=2, K=2, hidden=[8, 8])
+    served = compile_sampler(model, num_samples=16, typed_key=True)
+    z, _ = served(jax.random.key(3))
+    assert z.shape == (16, 2)
+
+
 def test_compiled_multiscale_sampler_temperature():
     key = jax.random.PRNGKey(4)
     model = models.build_glow_multiscale(key, input_shape=(3, 8, 8), L=1,
