@@ -1,0 +1,171 @@
+"""End-to-end TPU verification driver (the `/verify` recipe, runnable).
+
+Drives nf_tpu through its public API on the real device, asserting
+training convergence and numerical consistency. Sections:
+
+    python verify_e2e.py                # all sections
+    python verify_e2e.py realnvp       # mixed-precision RealNVP + spline A/B
+    python verify_e2e.py residual      # reverse-KLD residual (implicit VJP)
+    python verify_e2e.py data          # input pipeline feeding Glow steps
+
+Each section prints `... OK`; non-convergence or mismatch raises.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import nf_tpu.models as models
+from nf_tpu.distributions import TwoModes
+from nf_tpu.ops import splines
+from nf_tpu.utils.module import combine, partition, partition_arrays
+from nf_tpu.utils.optim import update_lipschitz
+from nf_tpu.utils.profiling import enable_compilation_cache
+
+
+def check_realnvp_and_spline():
+    """Mixed-precision RealNVP reverse-KLD on TwoModes + pallas/dense A/B."""
+    key = jax.random.PRNGKey(0)
+    model = models.build_realnvp(key, dim=2, K=16, hidden=[64, 64],
+                                 target=TwoModes(), mixed_precision=True)
+    model = model.init_from_samples(key, 512)
+    params, static = partition(model)
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(
+            lambda p: combine(p, static).reverse_kld(key, 1024))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    for it in range(400):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+    print(f"  realnvp loss {float(loss):+.3f} after 400 iters "
+          f"({time.time() - t0:.0f}s incl. compile)", flush=True)
+    assert float(loss) < -1.0, f"no convergence: {float(loss)}"
+
+    model = combine(params, static)
+    key, sub = jax.random.split(key)
+    z, log_q = model.sample(sub, 4096)
+    err = float(jnp.max(jnp.abs(model.log_prob(z) - log_q)))
+    r = float(jnp.mean(jnp.linalg.norm(z, axis=1)))
+    assert err < 0.1, f"sample/log_prob mismatch: {err}"
+    assert 1.5 < r < 2.5, f"TwoModes ring radius off: {r}"
+
+    # pallas vs dense at identical params
+    key = jax.random.PRNGKey(7)
+    nsf = models.build_nsf(key, dim=2, K=4, hidden=64, num_bins=8)
+    x = jax.random.normal(key, (8192, 2)) * 2
+    a = jax.jit(nsf.log_prob)(x)  # traced with pallas auto-dispatch
+    splines.set_pallas_enabled(False)
+    b = jax.jit(lambda x: nsf.log_prob(x))(x)
+    splines.set_pallas_enabled(True)
+    d = float(jnp.max(jnp.abs(a - b)))
+    assert d < 5e-4, f"pallas/dense mismatch: {d}"
+    print(f"  pallas-vs-dense log_prob max diff {d:.2e}", flush=True)
+    print("REALNVP+SPLINE OK", flush=True)
+
+
+def check_residual_reverse_kld():
+    """Residual flow trained by reverse KLD through the implicit-diff
+    fixed-point inverse (impossible in the reference)."""
+    key = jax.random.PRNGKey(0)
+    model = models.build_residual(key, dim=2, K=4, hidden=64,
+                                  n_hidden_layers=2, target=TwoModes())
+    model = model.init_from_samples(key, 512)
+    params, rest = partition(model)
+    buffers, config = partition_arrays(rest)  # u/v power-iteration state
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, buffers, opt_state, key):
+        def loss_fn(p):
+            m = combine(combine(p, buffers), config)
+            return m.reverse_kld(key, 512)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # buffers must thread through the step (CLAUDE.md invariant)
+        m = update_lipschitz(combine(combine(params, buffers), config), 5)
+        p2, r2 = partition(m)
+        b2, _ = partition_arrays(r2)
+        return p2, b2, opt_state, loss
+
+    losses = []
+    t0 = time.time()
+    for it in range(300):
+        key, sub = jax.random.split(key)
+        params, buffers, opt_state, loss = step(params, buffers, opt_state,
+                                                sub)
+        losses.append(float(loss))
+    print(f"  residual reverse-KLD {losses[0]:+.2f} -> {losses[-1]:+.2f} "
+          f"({time.time() - t0:.0f}s incl. compile)", flush=True)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-20:]) < np.mean(losses[:20]) - 0.5
+    m = combine(combine(params, buffers), config)
+    key, sub = jax.random.split(key)
+    z, _ = m.sample(sub, 2048)
+    r = float(jnp.mean(jnp.linalg.norm(z, axis=1)))
+    assert 1.4 < r < 2.6, f"ring radius off: {r}"
+    print("RESIDUAL OK", flush=True)
+
+
+def check_data_pipeline():
+    """ArrayDataset + prefetch_to_device feeding Glow train steps."""
+    from nf_tpu.data import ArrayDataset, prefetch_to_device
+    from nf_tpu.parallel import init_train_state, make_forward_kld_step
+
+    rng = np.random.default_rng(0)
+    x_all = rng.random((512, 3, 32, 32), np.float32) * 0.98 + 0.01
+    y_all = rng.integers(0, 10, 512)
+    ds = ArrayDataset(x_all, y_all, batch_size=64, shuffle=True)
+
+    key = jax.random.PRNGKey(0)
+    model = models.build_glow_multiscale(key, input_shape=(3, 32, 32),
+                                         L=2, K=8, hidden_channels=128,
+                                         scan=True)
+    x0, y0 = next(iter(ds))
+    model = model.init_from_data(jnp.asarray(x0), jnp.asarray(y0))
+    opt = optax.adamax(1e-3)
+    state, static = init_train_state(model, opt)
+    step = make_forward_kld_step(static, opt)
+    losses = []
+    for batch in prefetch_to_device(ds.epochs(3), size=2):
+        state, loss = step(state, batch)
+        losses.append(loss)
+    losses = [float(l) for l in losses]
+    assert len(losses) == 24 and np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    print(f"  {len(losses)} prefetched steps, loss {losses[0]:.1f} -> "
+          f"{losses[-1]:.1f}", flush=True)
+    print("DATA OK", flush=True)
+
+
+SECTIONS = {
+    "realnvp": check_realnvp_and_spline,
+    "residual": check_residual_reverse_kld,
+    "data": check_data_pipeline,
+}
+
+
+def main():
+    enable_compilation_cache()
+    print("backend:", jax.default_backend(), flush=True)
+    names = sys.argv[1:] or list(SECTIONS)
+    for n in names:
+        SECTIONS[n]()
+    print("VERIFY E2E OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
