@@ -38,7 +38,7 @@ def record(name, value, unit, **extra):
     print(f"{name:40s} {value:14.1f} {unit}", flush=True)
 
 
-def _best_wall(fn, x0, tries=3):
+def _best_wall(fn, x0, tries=5):
     best = float("inf")
     for _ in range(tries):
         t0 = time.perf_counter()
@@ -143,21 +143,49 @@ def bench_realnvp_roundtrip(batch=1 << 16, K=16, hidden=128, reps=32):
 
 
 def bench_spline(n=1 << 21, K=8, reps=16):
+    """Two flavors per path: ``as_fed`` makes the params depend on the loop
+    carry — what a model pays when a conditioner produces fresh params every
+    call (includes the XLA-side (N,K)->(K,N) feed transposes) — while the
+    pallas ``kernel`` flavor uses loop-constant params, which XLA constant-
+    folds through the transposes, isolating the kernel body itself
+    (measured at the HBM roofline: a same-footprint copy kernel is no
+    faster, ``exp_overhead_floor.py``)."""
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
     uw = jax.random.normal(ks[1], (n, K))
     uh = jax.random.normal(ks[2], (n, K))
     ud = jax.random.normal(ks[3], (n, K - 1))
 
-    for name, use_pallas, r in [("rqs_spline_pallas", True, reps),
-                                ("rqs_spline_dense_xla", False, 4)]:
+    def make_body(use_pallas, varying):
         def body(x):
+            w = uw + x[:, None] * 1e-12 if varying else uw
             y, ld = splines.unconstrained_rational_quadratic_spline(
-                x, uw, uh, ud, tails="linear", tail_bound=2.5,
+                x, w, uh, ud, tails="linear", tail_bound=2.5,
                 use_pallas=use_pallas)
             return jnp.clip(y + ld * 1e-9, -3.0, 3.0)
+        return body
 
-        dt = timed_chain(body, jax.random.normal(ks[0], (n,)) * 3, r)
+    # kernel-only flavor: pre-padded constant params fed straight to the
+    # fused op so XLA constant-folds the feed transposes at compile time
+    import numpy as np
+
+    from nf_tpu.ops.splines_pallas import fused_unconstrained_rqs
+
+    c = float(np.log(np.exp(1 - splines.DEFAULT_MIN_DERIVATIVE) - 1))
+    udp = jnp.pad(ud, ((0, 0), (1, 1)), constant_values=c)
+
+    def kernel_body(x):
+        y, ld = fused_unconstrained_rqs(x, uw, uh, udp, 2.5)
+        return jnp.clip(y + ld * 1e-9, -3.0, 3.0)
+
+    x0 = jax.random.normal(ks[0], (n,)) * 3
+    dt = timed_chain(kernel_body, x0, reps, label="rqs_kernel")
+    record("rqs_spline_pallas_kernel", n / dt / 1e9, "Gelem/s",
+           elements=n, num_bins=K)
+    for name, use_pallas, r in [
+            ("rqs_spline_pallas_as_fed", True, reps),
+            ("rqs_spline_dense_xla", False, 4)]:
+        dt = timed_chain(make_body(use_pallas, True), x0, r, label=name)
         record(name, n / dt / 1e9, "Gelem/s", elements=n, num_bins=K)
 
 
