@@ -115,3 +115,52 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_kmajor_feed():
+    """Model-realistic feed comparison: params start in the conv output
+    layout (B, C, 3K, H, W), loop-varying. Generic path: relayout to
+    (..., K) minor then (N,K)->(K,N) transpose. K-major path: one
+    chunk-contiguous transpose to (3K, B, C, H, W), no elementwise
+    shuffles."""
+    from nf_tpu.ops import splines
+
+    b, c, h, w = 64, 8, 32, 32
+    K = 8
+    key = jax.random.PRNGKey(0)
+    conv_out = jax.random.normal(key, (b, c, 3 * K - 1, h, w))
+    x0 = jax.random.normal(key, (b, c, h, w)) * 2
+
+    def body_generic(x):
+        p = conv_out + x[:, :, None] * 1e-12
+        p = jnp.transpose(p, (0, 1, 3, 4, 2))  # bin-minor relayout
+        uw, uh = p[..., :K], p[..., K:2 * K]
+        ud = p[..., 2 * K:]
+        y, ld = splines.unconstrained_rational_quadratic_spline(
+            x, uw, uh, ud, tails="linear", tail_bound=3.0, use_pallas=True)
+        return jnp.clip(y + ld * 1e-9, -3.0, 3.0)
+
+    def body_kmajor(x):
+        p = conv_out + x[:, :, None] * 1e-12
+        p = jnp.transpose(p, (2, 0, 1, 3, 4))  # chunk moves only
+        uw, uh = p[:K], p[K:2 * K]
+        ud = p[2 * K:]
+        y, ld = splines.unconstrained_rational_quadratic_spline_kmajor(
+            x, uw, uh, ud, tails="linear", tail_bound=3.0, use_pallas=True)
+        return jnp.clip(y + ld * 1e-9, -3.0, 3.0)
+
+    n = x0.size
+    for name, body in (("generic feed (bin-minor + transpose)",
+                        body_generic),
+                       ("k-major feed (chunk moves)", body_kmajor)):
+        reps = 16
+        c1 = compile_scan_chain(body, reps)
+        c2 = compile_scan_chain(body, 4 * reps)
+        warmup_with_retries(c1, x0)
+        warmup_with_retries(c2, x0)
+        t1, t2 = _best_wall(c1, x0), _best_wall(c2, x0)
+        d = (t2 - t1) / (3 * reps)
+        if d <= 0:
+            d = t2 / (4 * reps)
+        print(f"{name:40s} {d*1e3:7.3f} ms/app  {n/d/1e9:6.3f} Gelem/s",
+              flush=True)

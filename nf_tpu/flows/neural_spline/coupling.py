@@ -316,6 +316,30 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
             min_derivative=self.min_derivative)
 
     def _coupling_transform(self, inputs, transform_params, inverse):
+        if inputs.ndim == 4 and self.tails in ("linear", "circular"):
+            # Bin-major fast feed: the conv conditioner output
+            # (B, C*3K, H, W) views as (B, C, 3K, H, W) with the bin axis
+            # already major of the spatial dims, so reaching the fused
+            # kernel's (K, N) layout moves contiguous H*W chunks — instead
+            # of the elementwise (N,K)->(K,N) transpose (3x the kernel's
+            # own time; docs/kernels.md).
+            b, c, h, w = inputs.shape
+            p = transform_params.reshape(b, c, -1, h, w)
+            p = jnp.transpose(p, (2, 0, 1, 3, 4))
+            uw = p[: self.num_bins] * self.softmax_scale
+            uh = p[self.num_bins:2 * self.num_bins] * self.softmax_scale
+            ud = p[2 * self.num_bins:]
+            tb = self.tail_bound_arr if self.tail_bound_arr is not None \
+                else self.tail_bound
+            if self.tail_bound_arr is not None:
+                tb = tb.reshape((1, -1, 1, 1))  # per-channel bounds
+            outputs, logabsdet = \
+                splines.unconstrained_rational_quadratic_spline_kmajor(
+                    inputs, uw, uh, ud, inverse=inverse, tails=self.tails,
+                    tail_bound=tb, min_bin_width=self.min_bin_width,
+                    min_bin_height=self.min_bin_height,
+                    min_derivative=self.min_derivative)
+            return outputs, sum_except_batch(logabsdet)
         params = _reshape_params(inputs, transform_params)
         outputs, logabsdet = self._piecewise_cdf(inputs, params, inverse)
         return outputs, sum_except_batch(logabsdet)

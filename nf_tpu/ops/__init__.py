@@ -13,5 +13,9 @@ from .splines import (
     rational_quadratic_spline,
     searchsorted,
     unconstrained_rational_quadratic_spline,
+    unconstrained_rational_quadratic_spline_kmajor,
 )
-from .splines_pallas import fused_unconstrained_rqs
+from .splines_pallas import (
+    fused_unconstrained_rqs,
+    fused_unconstrained_rqs_kmajor,
+)

@@ -251,3 +251,69 @@ def unconstrained_rational_quadratic_spline(
     outputs = jnp.where(inside, spline_out, inputs)
     logabsdet = jnp.where(inside, spline_ld, 0.0)
     return outputs, logabsdet
+
+
+def unconstrained_rational_quadratic_spline_kmajor(
+    inputs,
+    unnormalized_widths,
+    unnormalized_heights,
+    unnormalized_derivatives,
+    inverse=False,
+    tails="linear",
+    tail_bound=1.0,
+    min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative=DEFAULT_MIN_DERIVATIVE,
+    use_pallas=None,
+):
+    """Bin-MAJOR variant of :func:`unconstrained_rational_quadratic_spline`.
+
+    ``unnormalized_widths``/``heights``: ``(K, *inputs.shape)``;
+    ``unnormalized_derivatives``: ``(K-1, ...)`` for 'linear' tails /
+    ``(K, ...)`` for 'circular'. This layout lets conv conditioners feed
+    the fused Pallas kernel WITHOUT the elementwise ``(N,K) -> (K,N)``
+    transpose (their ``(B, C*3K, H, W)`` output is already bin-major of
+    the spatial dims — getting here moves contiguous H*W chunks). Tail
+    derivative padding happens along axis 0 (cheap row concat). Off-TPU
+    (or with the kernel disabled) the params move to bin-minor and run the
+    dense path — numerics identical to the generic entry point.
+    """
+    constant = float(np.log(np.exp(1 - min_derivative) - 1))
+    ud = unnormalized_derivatives
+    if tails == "linear":
+        edge = jnp.full_like(ud[:1], constant)
+        ud = jnp.concatenate([edge, ud, edge], axis=0)
+    elif tails == "circular":
+        ud = jnp.concatenate([ud, ud[:1]], axis=0)
+    else:
+        raise RuntimeError(
+            f"{tails!r} tails are not supported by the k-major entry "
+            "(per-feature mixed tails go through the generic path)")
+
+    tb = jnp.broadcast_to(jnp.asarray(tail_bound, inputs.dtype),
+                          inputs.shape)
+
+    if use_pallas is None:
+        use_pallas = (_PALLAS_ENABLED
+                      and jax.default_backend() == "tpu"
+                      and inputs.size >= 4096)
+    if use_pallas:
+        from .splines_pallas import fused_unconstrained_rqs_kmajor
+
+        return fused_unconstrained_rqs_kmajor(
+            inputs, unnormalized_widths, unnormalized_heights, ud, tb,
+            inverse=inverse, min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height, min_derivative=min_derivative)
+
+    uw = jnp.moveaxis(unnormalized_widths, 0, -1)
+    uh = jnp.moveaxis(unnormalized_heights, 0, -1)
+    udm = jnp.moveaxis(ud, 0, -1)
+    inside = (inputs >= -tb) & (inputs <= tb)
+    clamped = jnp.clip(inputs, -tb, tb)
+    spline_out, spline_ld = rational_quadratic_spline(
+        clamped, uw, uh, udm, inverse=inverse, left=-tb, right=tb,
+        bottom=-tb, top=tb, min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height, min_derivative=min_derivative)
+    outputs = jnp.where(inside, spline_out, inputs)
+    logabsdet = jnp.where(inside, spline_ld, 0.0)
+    return outputs, logabsdet

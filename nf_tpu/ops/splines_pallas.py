@@ -251,6 +251,49 @@ def _make_op(inverse, min_bin_width, min_bin_height, min_derivative,
     return op
 
 
+@functools.lru_cache(maxsize=None)
+def _make_op_kmajor(inverse, min_bin_width, min_bin_height, min_derivative,
+                    interpret):
+    """Variant taking params already bin-MAJOR: uw/uh (K, N), ud (K+1, N).
+
+    This is the fast feed for conv conditioners: their output
+    ``(B, C*3K, H, W)`` views as ``(B, C, 3K, H, W)`` with the bin axis
+    already major of the spatial dims, so getting to ``(K, N)`` moves
+    contiguous H*W-sized chunks — unlike the minor-dim-8 element shuffles
+    of the ``(N, K) -> (K, N)`` transpose the generic path pays
+    (measured ~0.32 ms per 64 MB array, 3x the kernel's own time)."""
+
+    def impl(x, uw, uh, ud, tb):
+        return _pallas_impl(
+            x, uw, uh, ud, tb, inverse=inverse,
+            min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+            min_derivative=min_derivative, interpret=interpret)
+
+    @jax.custom_vjp
+    def op(x, uw, uh, ud, tb):
+        return impl(x, uw, uh, ud, tb)
+
+    def fwd(x, uw, uh, ud, tb):
+        return impl(x, uw, uh, ud, tb), (x, uw, uh, ud, tb)
+
+    def bwd(res, ct):
+        # dense reference works bin-minor; transpose in, transpose the
+        # cotangents back out (training backward only)
+        x, uw, uh, ud, tb = res
+        _, vjp = jax.vjp(
+            lambda a, b, c, d: _dense_impl(
+                a, b.T, c.T, d.T, tb, inverse=inverse,
+                min_bin_width=min_bin_width,
+                min_bin_height=min_bin_height,
+                min_derivative=min_derivative),
+            x, uw, uh, ud)
+        gx, gw, gh, gd = vjp(ct)
+        return gx, gw, gh, gd, jnp.zeros_like(tb)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def fused_unconstrained_rqs(
     inputs,
     unnormalized_widths,
@@ -285,5 +328,39 @@ def fused_unconstrained_rqs(
     op = _make_op(bool(inverse), float(min_bin_width),
                   float(min_bin_height), float(min_derivative),
                   bool(interpret))
+    y, ld = op(x, uw, uh, ud, tb)
+    return y.reshape(shape), ld.reshape(shape)
+
+
+def fused_unconstrained_rqs_kmajor(
+    inputs,
+    unnormalized_widths,
+    unnormalized_heights,
+    padded_derivatives,
+    tail_bound,
+    inverse=False,
+    min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative=DEFAULT_MIN_DERIVATIVE,
+    interpret=None,
+):
+    """Like :func:`fused_unconstrained_rqs` but with the bin axis MAJOR:
+    ``unnormalized_widths``/``heights`` shaped ``(K, *inputs.shape)`` and
+    ``padded_derivatives`` ``(K+1, *inputs.shape)`` — no feed transpose
+    (see :func:`_make_op_kmajor`)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = inputs.shape
+    num_bins = unnormalized_widths.shape[0]
+    n = int(np.prod(shape)) if shape else 1
+    x = inputs.reshape(n)
+    tb = jnp.broadcast_to(jnp.asarray(tail_bound, inputs.dtype),
+                          shape).reshape(n)
+    uw = unnormalized_widths.reshape(num_bins, n)
+    uh = unnormalized_heights.reshape(num_bins, n)
+    ud = padded_derivatives.reshape(num_bins + 1, n)
+    op = _make_op_kmajor(bool(inverse), float(min_bin_width),
+                         float(min_bin_height), float(min_derivative),
+                         bool(interpret))
     y, ld = op(x, uw, uh, ud, tb)
     return y.reshape(shape), ld.reshape(shape)
