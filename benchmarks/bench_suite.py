@@ -158,9 +158,15 @@ def bench_spline(n=1 << 21, K=8, reps=16):
 
     def make_body(use_pallas, varying):
         def body(x):
-            w = uw + x[:, None] * 1e-12 if varying else uw
+            # ALL param arrays must depend on the carry or XLA const-folds
+            # their feed transposes out of the measured slope
+            if varying:
+                eps = x[:, None] * 1e-12
+                w, h, d = uw + eps, uh + eps, ud + eps
+            else:
+                w, h, d = uw, uh, ud
             y, ld = splines.unconstrained_rational_quadratic_spline(
-                x, w, uh, ud, tails="linear", tail_bound=2.5,
+                x, w, h, d, tails="linear", tail_bound=2.5,
                 use_pallas=use_pallas)
             return jnp.clip(y + ld * 1e-9, -3.0, 3.0)
         return body

@@ -111,10 +111,7 @@ def main():
         return jnp.tanh(y * 1e-6) + x * 0.999
 
     bench("C XLA transpose feeding A", body_c, jnp.zeros((ROWS, 128)))
-
-
-if __name__ == "__main__":
-    main()
+    bench_kmajor_feed()
 
 
 def bench_kmajor_feed():
@@ -164,3 +161,7 @@ def bench_kmajor_feed():
             d = t2 / (4 * reps)
         print(f"{name:40s} {d*1e3:7.3f} ms/app  {n/d/1e9:6.3f} Gelem/s",
               flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -165,6 +165,28 @@ def rational_quadratic_spline(
         return outputs, logabsdet
 
 
+def identity_tail_spline(inputs, uw, uh, ud_padded, tb, inverse,
+                         min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+                         min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+                         min_derivative=DEFAULT_MIN_DERIVATIVE):
+    """Symmetric-interval spline with identity tails, on PADDED (K+1)
+    derivatives: clamp into [-tb, tb], evaluate, where-select identity
+    outside. Single source of the tail semantics — shared by the generic
+    entry point, the k-major dense fallback, and the Pallas custom-VJP
+    backward (``splines_pallas._dense_impl``)."""
+    inside = (inputs >= -tb) & (inputs <= tb)
+    # clamp so the spline math never sees out-of-interval values (keeps the
+    # unselected where-branch finite for both value and gradient)
+    clamped = jnp.clip(inputs, -tb, tb)
+    spline_out, spline_ld = rational_quadratic_spline(
+        clamped, uw, uh, ud_padded, inverse=inverse, left=-tb, right=tb,
+        bottom=-tb, top=tb, min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height, min_derivative=min_derivative)
+    outputs = jnp.where(inside, spline_out, inputs)
+    logabsdet = jnp.where(inside, spline_ld, 0.0)
+    return outputs, logabsdet
+
+
 def unconstrained_rational_quadratic_spline(
     inputs,
     unnormalized_widths,
@@ -229,28 +251,10 @@ def unconstrained_rational_quadratic_spline(
             inverse=inverse, min_bin_width=min_bin_width,
             min_bin_height=min_bin_height, min_derivative=min_derivative)
 
-    inside = (inputs >= -tb) & (inputs <= tb)
-
-    # clamp so the spline math never sees out-of-interval values (keeps the
-    # unselected where-branch finite for both value and gradient)
-    clamped = jnp.clip(inputs, -tb, tb)
-    spline_out, spline_ld = rational_quadratic_spline(
-        clamped,
-        unnormalized_widths,
-        unnormalized_heights,
-        ud,
-        inverse=inverse,
-        left=-tb,
-        right=tb,
-        bottom=-tb,
-        top=tb,
-        min_bin_width=min_bin_width,
-        min_bin_height=min_bin_height,
-        min_derivative=min_derivative,
-    )
-    outputs = jnp.where(inside, spline_out, inputs)
-    logabsdet = jnp.where(inside, spline_ld, 0.0)
-    return outputs, logabsdet
+    return identity_tail_spline(
+        inputs, unnormalized_widths, unnormalized_heights, ud, tb, inverse,
+        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        min_derivative=min_derivative)
 
 
 def unconstrained_rational_quadratic_spline_kmajor(
@@ -305,15 +309,9 @@ def unconstrained_rational_quadratic_spline_kmajor(
             inverse=inverse, min_bin_width=min_bin_width,
             min_bin_height=min_bin_height, min_derivative=min_derivative)
 
-    uw = jnp.moveaxis(unnormalized_widths, 0, -1)
-    uh = jnp.moveaxis(unnormalized_heights, 0, -1)
-    udm = jnp.moveaxis(ud, 0, -1)
-    inside = (inputs >= -tb) & (inputs <= tb)
-    clamped = jnp.clip(inputs, -tb, tb)
-    spline_out, spline_ld = rational_quadratic_spline(
-        clamped, uw, uh, udm, inverse=inverse, left=-tb, right=tb,
-        bottom=-tb, top=tb, min_bin_width=min_bin_width,
-        min_bin_height=min_bin_height, min_derivative=min_derivative)
-    outputs = jnp.where(inside, spline_out, inputs)
-    logabsdet = jnp.where(inside, spline_ld, 0.0)
-    return outputs, logabsdet
+    return identity_tail_spline(
+        inputs, jnp.moveaxis(unnormalized_widths, 0, -1),
+        jnp.moveaxis(unnormalized_heights, 0, -1),
+        jnp.moveaxis(ud, 0, -1), tb, inverse,
+        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        min_derivative=min_derivative)

@@ -208,13 +208,11 @@ def _dense_impl(x, uw, uh, ud, tb, *, inverse, min_bin_width,
 
     x (N,), uw/uh (N, K), ud (N, K+1), tb (N,).
     """
-    inside = (x >= -tb) & (x <= tb)
-    clamped = jnp.clip(x, -tb, tb)
-    y, ld = rational_quadratic_spline(
-        clamped, uw, uh, ud, inverse=inverse, left=-tb, right=tb,
-        bottom=-tb, top=tb, min_bin_width=min_bin_width,
+    from .splines import identity_tail_spline
+
+    return identity_tail_spline(
+        x, uw, uh, ud, tb, inverse, min_bin_width=min_bin_width,
         min_bin_height=min_bin_height, min_derivative=min_derivative)
-    return jnp.where(inside, y, x), jnp.where(inside, ld, 0.0)
 
 
 @functools.lru_cache(maxsize=None)

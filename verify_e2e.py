@@ -7,6 +7,7 @@ training convergence and numerical consistency. Sections:
     python verify_e2e.py realnvp       # mixed-precision RealNVP + spline A/B
     python verify_e2e.py residual      # reverse-KLD residual (implicit VJP)
     python verify_e2e.py data          # input pipeline feeding Glow steps
+    python verify_e2e.py image_nsf     # 4D couplings (bin-major feed) A/B
 
 Each section prints `... OK`; non-convergence or mismatch raises.
 """
@@ -201,6 +202,9 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     names = sys.argv[1:] or list(SECTIONS)
     for n in names:
+        if n not in SECTIONS:
+            raise SystemExit(
+                f"unknown section {n!r}; valid: {', '.join(SECTIONS)}")
         SECTIONS[n]()
     print("VERIFY E2E OK", flush=True)
 
