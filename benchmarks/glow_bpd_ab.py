@@ -1,0 +1,334 @@
+"""Same-data Glow bits/dim A/B: reference PyTorch (host CPU) vs nf_tpu (TPU).
+
+Discharges the BASELINE.json north-star "Glow CIFAR-10 bits/dim matches the
+reference within MC error" with a *measured* A/B rather than a recipe
+description: both frameworks train the exact reference architecture
+(``/root/reference/examples/glow.ipynb`` cell 2: L=3, K=16, hidden=256,
+class-conditional base, NO logit transform) with the exact reference
+optimizer (cell 4: Adamax lr=1e-3, weight_decay=1e-5, batch 128, NaN-skip
+guard) on the *identical* procedural 32x32 RGB dataset, with the identical
+batch-index schedule, and report bits/dim (cell 6: ``nll/log(2)/3072 + 8``,
+NaN-robust mean) on *identical pre-dequantized* held-out arrays at the same
+iteration checkpoints.
+
+What is shared bit-for-bit between the two runs:
+  * the uint8 train/test images + labels (numpy-generated, ``data`` phase);
+  * the sequence of train batch indices (``np.random.default_rng(123)``);
+  * the dequantized eval arrays (Scale 255/256 + fixed-seed Jitter 1/256,
+    precomputed per eval_seed in the ``data`` phase).
+What differs (and defines the MC error band): parameter init RNG, the
+per-iteration training jitter noise, and f32-TPU vs f64-capable-CPU
+accumulation order. The MC error bar is the spread over eval_seeds plus the
+test-set standard error.
+
+Usage (from repo root):
+    python benchmarks/glow_bpd_ab.py data
+    python benchmarks/glow_bpd_ab.py torch --iters 1000   # hours on 1 CPU
+    python benchmarks/glow_bpd_ab.py jax   --iters 1000   # minutes on TPU
+    python benchmarks/glow_bpd_ab.py report
+
+Results land in ``benchmarks/out/glow_ab_{torch,jax}.jsonl`` and the merged
+table in ``benchmarks/out/glow_ab_report.md`` (copied into docs/accuracy.md).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "out")
+DATA_NPZ = os.path.join(OUT, "glow_ab_data.npz")
+
+# --- the shared recipe (reference examples/glow.ipynb cells 2-4) ---
+L, K, HIDDEN = 3, 16, 256
+INPUT_SHAPE = (3, 32, 32)
+N_DIMS = 3 * 32 * 32
+NUM_CLASSES = 10
+BATCH = 128
+LR, WD = 1e-3, 1e-5
+N_TRAIN, N_TEST = 4096, 512
+BATCH_SEED, DATA_SEED = 123, 7
+EVAL_SEEDS = (0, 1)  # two dequantization draws of the eval set
+EVAL_ITERS = (50, 100, 250, 500, 750, 1000, 1500, 2000)
+
+
+def procedural_cifar_np(rng, n, num_classes=NUM_CLASSES, size=32):
+    """Numpy port of examples/glow.py:procedural_cifar (class-dependent
+    colored blobs + texture, uint8) so both frameworks read identical bytes
+    without a JAX dependency in the torch phase."""
+    y = rng.integers(0, num_classes, size=n)
+    yy, xx = np.mgrid[0:size, 0:size] / size
+    phase = y[:, None, None] / num_classes * 2 * np.pi
+    base = 0.5 + 0.5 * np.sin(2 * np.pi * (xx + yy)[None] + phase)
+    rgb_shift = np.stack([np.cos(phase), np.sin(phase),
+                          np.cos(2 * phase)], 1)  # (n,3,1,1)
+    img = 0.6 * base[:, None] * (0.5 + 0.5 * rgb_shift)
+    img = img + 0.1 * rng.random((n, 3, size, size))
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8), y.astype(np.int32)
+
+
+def dequantize(x_uint8, rng):
+    """ToTensor + Scale(255/256) + Jitter(1/256), the reference train/test
+    transform pipeline (glow.ipynb cell 3; normflows/utils/preprocessing.py)."""
+    x = x_uint8.astype(np.float32) / 255.0
+    x = x * (255.0 / 256.0)
+    return x + rng.random(x.shape, dtype=np.float32) * (1.0 / 256.0)
+
+
+def batch_indices(n_iters, n=N_TRAIN, batch=BATCH, seed=BATCH_SEED):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, n, size=batch) for _ in range(n_iters)]
+
+
+def cmd_data(_args):
+    os.makedirs(OUT, exist_ok=True)
+    rng = np.random.default_rng(DATA_SEED)
+    x_tr, y_tr = procedural_cifar_np(rng, N_TRAIN)
+    x_te, y_te = procedural_cifar_np(rng, N_TEST)
+    arrays = {"x_train": x_tr, "y_train": y_tr,
+              "x_test": x_te, "y_test": y_te}
+    for s in EVAL_SEEDS:
+        arrays[f"x_test_deq{s}"] = dequantize(
+            x_te, np.random.default_rng(1000 + s))
+    np.savez_compressed(DATA_NPZ, **arrays)
+    print("wrote", DATA_NPZ,
+          {k: (v.shape, str(v.dtype)) for k, v in arrays.items()})
+
+
+def load_data():
+    d = np.load(DATA_NPZ)
+    return d
+
+
+def jsonl_append(path, row):
+    with open(path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+        f.flush()
+
+
+# ---------------------------------------------------------------- torch ---
+def cmd_torch(args):
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import normflows as nf
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    d = load_data()
+    x_tr, y_tr = d["x_train"], d["y_train"]
+
+    # glow.ipynb cell 2, verbatim recipe
+    q0, merges, flows = [], [], []
+    for i in range(L):
+        flows_ = [nf.flows.GlowBlock(3 * 2 ** (L + 1 - i), HIDDEN,
+                                     split_mode="channel", scale=True)
+                  for _ in range(K)]
+        flows_ += [nf.flows.Squeeze()]
+        flows += [flows_]
+        if i > 0:
+            merges += [nf.flows.Merge()]
+            latent_shape = (3 * 2 ** (L - i), 32 // 2 ** (L - i),
+                            32 // 2 ** (L - i))
+        else:
+            latent_shape = (3 * 2 ** (L + 1), 32 // 2 ** L, 32 // 2 ** L)
+        q0 += [nf.distributions.ClassCondDiagGaussian(latent_shape,
+                                                      NUM_CLASSES)]
+    model = nf.MultiscaleFlow(q0, flows, merges)
+    optimizer = torch.optim.Adamax(model.parameters(), lr=LR,
+                                   weight_decay=WD)
+
+    def eval_bpd(it, wall):
+        model.eval()
+        with torch.no_grad():
+            for s in EVAL_SEEDS:
+                xs = d[f"x_test_deq{s}"]
+                bpds = []
+                for lo in range(0, len(xs), BATCH):
+                    x = torch.from_numpy(xs[lo:lo + BATCH])
+                    y = torch.from_numpy(
+                        d["y_test"][lo:lo + BATCH].astype(np.int64))
+                    nll = model(x, y)  # forward_kld per-sample (cell 6)
+                    bpds.append(nll.numpy() / np.log(2) / N_DIMS + 8)
+                b = np.concatenate(bpds)
+                row = {"framework": "torch", "iter": it, "eval_seed": s,
+                       "bpd": float(np.nanmean(b)),
+                       "sem": float(np.nanstd(b) / np.sqrt(
+                           np.sum(~np.isnan(b)))),
+                       "nan_frac": float(np.mean(np.isnan(b))),
+                       "wall_s": round(wall, 1)}
+                jsonl_append(args.out, row)
+                print(row, flush=True)
+        model.train()
+
+    jitter_rng = np.random.default_rng(args.train_jitter_seed)
+    sched = batch_indices(args.iters)
+    t0 = time.time()
+    for it, idx in enumerate(sched):
+        x = torch.from_numpy(dequantize(x_tr[idx], jitter_rng))
+        y = torch.from_numpy(y_tr[idx].astype(np.int64))
+        optimizer.zero_grad()
+        loss = model.forward_kld(x, y)
+        if ~(torch.isnan(loss) | torch.isinf(loss)):  # cell 4 guard
+            loss.backward()
+            optimizer.step()
+        if (it + 1) in EVAL_ITERS or (it + 1) == args.iters:
+            eval_bpd(it + 1, time.time() - t0)
+        if it % 25 == 0:
+            print(f"iter {it} loss {float(loss):+.1f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+
+# ------------------------------------------------------------------ jax ---
+def cmd_jax(args):
+    sys.path.insert(0, os.path.dirname(HERE))
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nf_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nf_tpu.models import build_glow_multiscale
+    from nf_tpu.utils.module import combine, partition
+
+    d = load_data()
+    x_tr, y_tr = d["x_train"], d["y_train"]
+
+    model = build_glow_multiscale(
+        jax.random.PRNGKey(0), input_shape=INPUT_SHAPE, L=L, K=K,
+        hidden_channels=HIDDEN, num_classes=NUM_CLASSES, class_cond=True,
+        scan=True)
+    # the reference notebook model has NO logit transform (cell 2):
+    # bpd is computed directly as nll/log(2)/3072 + 8 (cell 6)
+    model = dataclasses.replace(model, transform=None)
+
+    jitter_rng = np.random.default_rng(args.train_jitter_seed)
+    sched = batch_indices(args.iters)
+    model = model.init_from_data(
+        jnp.asarray(dequantize(x_tr[sched[0]], np.random.default_rng(
+            args.train_jitter_seed))),
+        jnp.asarray(y_tr[sched[0]].astype(np.int32)))
+
+    params, static = partition(model)
+    # torch-style coupled weight decay: wd*p added to the raw grad before
+    # the Adamax moments (torch.optim.Adamax semantics)
+    opt = optax.chain(optax.add_decayed_weights(WD), optax.adamax(LR))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            return combine(p, static).forward_kld(x, y)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        ok = jnp.isfinite(loss)  # cell 4 NaN/Inf-skip guard
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new, old)
+        return keep(new_params, params), keep(new_opt, opt_state), loss
+
+    test_y = jnp.asarray(d["y_test"].astype(np.int32))
+    test_x = {s: jnp.asarray(d[f"x_test_deq{s}"]) for s in EVAL_SEEDS}
+
+    @jax.jit
+    def bpd_of(params, x, y):
+        nll = -combine(params, static).log_prob(x, y)
+        return nll / np.log(2) / N_DIMS + 8
+
+    def eval_bpd(params, it, wall):
+        for s in EVAL_SEEDS:
+            b = np.asarray(bpd_of(params, test_x[s], test_y))
+            row = {"framework": "jax", "iter": it, "eval_seed": s,
+                   "bpd": float(np.nanmean(b)),
+                   "sem": float(np.nanstd(b) / np.sqrt(
+                       np.sum(~np.isnan(b)))),
+                   "nan_frac": float(np.mean(np.isnan(b))),
+                   "wall_s": round(wall, 1)}
+            jsonl_append(args.out, row)
+            print(row, flush=True)
+
+    t0 = time.time()
+    for it, idx in enumerate(sched):
+        x = jnp.asarray(dequantize(x_tr[idx], jitter_rng))
+        y = jnp.asarray(y_tr[idx].astype(np.int32))
+        params, opt_state, loss = step(params, opt_state, x, y)
+        if (it + 1) in EVAL_ITERS or (it + 1) == args.iters:
+            eval_bpd(params, it + 1, time.time() - t0)
+        if it % 100 == 0:
+            print(f"iter {it} loss {float(loss):+.1f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+
+# --------------------------------------------------------------- report ---
+def cmd_report(_args):
+    rows = []
+    for fw in ("torch", "jax"):
+        p = os.path.join(OUT, f"glow_ab_{fw}.jsonl")
+        if os.path.exists(p):
+            with open(p) as f:
+                rows += [json.loads(line) for line in f if line.strip()]
+    by = {}
+    for r in rows:
+        by.setdefault((r["iter"], r["framework"]), []).append(r)
+    iters = sorted({i for i, _ in by})
+    lines = ["| iter | torch bpd | jax bpd | gap | MC error (jitter, ±sem) |",
+             "|---|---|---|---|---|"]
+    for it in iters:
+        cells, vals = {}, {}
+        for fw in ("torch", "jax"):
+            rs = by.get((it, fw))
+            if not rs:
+                cells[fw] = "—"
+                continue
+            bs = [r["bpd"] for r in rs]
+            m, spread = float(np.mean(bs)), float(np.ptp(bs))
+            sem = float(np.mean([r["sem"] for r in rs]))
+            vals[fw] = (m, spread, sem)
+            cells[fw] = f"{m:.4f}"
+        if len(vals) == 2:
+            gap = vals["jax"][0] - vals["torch"][0]
+            err = max(max(v[1] for v in vals.values()),
+                      2 * max(v[2] for v in vals.values()))
+            verdict = "within" if abs(gap) <= max(err, 0.02) else "OUTSIDE"
+            gap_c = f"{gap:+.4f} ({verdict} MC err)"
+            mc = f"{err:.4f}"
+        else:
+            gap_c, mc = "—", "—"
+        lines.append(f"| {it} | {cells['torch']} | {cells['jax']} "
+                     f"| {gap_c} | {mc} |")
+    report = "\n".join(lines)
+    path = os.path.join(OUT, "glow_ab_report.md")
+    with open(path, "w") as f:
+        f.write("# Glow bits/dim A/B (same data, same recipe)\n\n"
+                + report + "\n")
+    print(report)
+    print("wrote", path)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("data")
+    for fw in ("torch", "jax"):
+        sp = sub.add_parser(fw)
+        sp.add_argument("--iters", type=int, default=1000)
+        sp.add_argument("--train-jitter-seed", type=int,
+                        default={"torch": 41, "jax": 42}[fw])
+        sp.add_argument("--out", type=str,
+                        default=os.path.join(OUT, f"glow_ab_{fw}.jsonl"))
+    sub.add_parser("report")
+    args = p.parse_args()
+    {"data": cmd_data, "torch": cmd_torch, "jax": cmd_jax,
+     "report": cmd_report}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

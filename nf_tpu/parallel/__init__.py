@@ -9,6 +9,13 @@ partitioner's defaults.
 """
 
 from .mesh import data_sharding, make_mesh, replicated
+from .multihost import (
+    host_local_to_global,
+    initialize_distributed,
+    make_hybrid_mesh,
+    per_process_batches,
+    process_slice,
+)
 from .sampling import log_normalizer, make_sharded_sampler
 from .tp import param_shardings, shard_params
 from .train import (

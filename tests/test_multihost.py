@@ -1,0 +1,126 @@
+"""Multi-host (multi-process) layer tests.
+
+The reference has no distributed runtime at all (SURVEY §2.6); these tests
+validate the new one end-to-end on CPU: two OS processes bring up
+``jax.distributed`` with gloo collectives, build a global mesh over their
+combined virtual devices, feed per-process batch slices through
+``per_process_batches``, and train data-parallel. The loss history must be
+(a) identical across the two processes (same global SPMD program) and
+(b) identical to a single-process run of the same global recipe — proving
+the per-process data path changes nothing about training semantics.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(tmp_path, num_processes, devices_per_process,
+                 hybrid=False, timeout=420):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_process}")
+    env.pop("PYTHONPATH", None)  # CLAUDE.md: PYTHONPATH breaks the backend
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(num_processes):
+        out = tmp_path / f"worker{num_processes}_{pid}.json"
+        outs.append(out)
+        cmd = [sys.executable, WORKER, "--process-id", str(pid),
+               "--num-processes", str(num_processes), "--port", str(port),
+               "--out", str(out)]
+        if hybrid:
+            cmd.append("--hybrid")
+        procs.append(subprocess.Popen(cmd, cwd=REPO, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    results = []
+    for p, out in zip(procs, outs):
+        stdout, _ = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
+        with open(out) as f:
+            results.append(json.load(f))
+    return results
+
+
+@pytest.fixture(scope="module")
+def runs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multihost")
+    multi = _run_workers(tmp, num_processes=2, devices_per_process=2,
+                         hybrid=True)
+    single = _run_workers(tmp, num_processes=1, devices_per_process=4)
+    return multi, single
+
+
+def test_two_process_training_runs(runs):
+    multi, _ = runs
+    for r in multi:
+        assert r["process_count"] == 2
+        assert r["global_devices"] == 4
+        assert r["local_devices"] == 2
+        assert len(r["losses"]) == 5
+        assert np.all(np.isfinite(r["losses"]))
+
+
+def test_losses_identical_across_processes(runs):
+    multi, _ = runs
+    np.testing.assert_allclose(multi[0]["losses"], multi[1]["losses"],
+                               rtol=0, atol=0)
+
+
+def test_multi_process_matches_single_process(runs):
+    """Per-process data slicing must not change training semantics: the
+    2-process x 2-device run sees the exact global batches of the
+    1-process x 4-device run."""
+    multi, single = runs
+    assert single[0]["global_devices"] == 4
+    # step 0 is pre-update: bitwise equality proves the per-process batch
+    # assembly reproduces the single-process global batch exactly
+    assert multi[0]["losses"][0] == single[0]["losses"][0]
+    # after updates, gloo's cross-host reduction order differs from the
+    # in-process one at f32 ULP level and Adam amplifies it — trajectories
+    # must stay numerically close, not bitwise equal
+    np.testing.assert_allclose(multi[0]["losses"], single[0]["losses"],
+                               atol=5e-3, rtol=0)
+    # training actually progressed
+    assert multi[0]["losses"][-1] < multi[0]["losses"][0]
+
+
+def test_hybrid_mesh_global_reduction(runs):
+    multi, _ = runs
+    for r in multi:
+        assert r["hybrid_sum"] == r["hybrid_expected"]
+
+
+def test_process_slice_math():
+    from nf_tpu.parallel.multihost import process_slice
+
+    assert process_slice(64, 0, 4) == slice(0, 16)
+    assert process_slice(64, 3, 4) == slice(48, 64)
+    with pytest.raises(ValueError):
+        process_slice(65, 0, 4)
+
+
+def test_make_hybrid_mesh_single_granule():
+    """dcn_shape of ones degrades to a plain mesh in-process."""
+    import jax
+
+    from nf_tpu.parallel.multihost import make_hybrid_mesh
+
+    n = jax.device_count()
+    mesh = make_hybrid_mesh(("data", "model"), ici_shape=(n, 1))
+    assert mesh.shape == {"data": n, "model": 1}
