@@ -11,13 +11,14 @@ import optax
 
 import nf_tpu.models as models
 from bench_suite import _two_point_steps, record
-from nf_tpu.ops import splines
+from nf_tpu.ops import splines, splines_pallas
 from nf_tpu.parallel import init_train_state, make_forward_kld_step
 from nf_tpu.utils.profiling import enable_compilation_cache
 
 
-def run(use_pallas, batch=64, L=2, K=4, hidden=64, reps=8):
+def run(use_pallas, fused_bwd=True, batch=64, L=2, K=4, hidden=64, reps=8):
     splines.set_pallas_enabled(use_pallas)
+    splines_pallas.set_pallas_bwd_enabled(fused_bwd)
     key = jax.random.PRNGKey(0)
     model = models.build_image_nsf(key, input_shape=(3, 32, 32), L=L, K=K,
                                    hidden_channels=hidden)
@@ -29,17 +30,20 @@ def run(use_pallas, batch=64, L=2, K=4, hidden=64, reps=8):
     state, loss = step(state, x)
     jax.block_until_ready(loss)
     dt = _two_point_steps(lambda s: step(s, x), state, reps)
-    name = "pallas" if use_pallas else "dense"
+    name = ("pallas" if fused_bwd else "pallas_dense_bwd") if use_pallas \
+        else "dense"
     record(f"image_nsf_l2_k4_train_step_{name}", batch / dt, "images/s",
            ms_per_step=dt * 1e3)
     splines.set_pallas_enabled(True)
+    splines_pallas.set_pallas_bwd_enabled(True)
 
 
 def main():
     enable_compilation_cache()
     print("backend:", jax.default_backend(), flush=True)
-    run(True)
-    run(False)
+    run(True, fused_bwd=True)    # fused fwd + fused bwd kernels
+    run(True, fused_bwd=False)   # round-1: fused fwd, dense one-hot bwd
+    run(False)                   # all-dense one-hot path
 
 
 if __name__ == "__main__":

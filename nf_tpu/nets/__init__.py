@@ -15,6 +15,11 @@ from .lipschitz import (
     LipschitzCNN,
     LipschitzMLP,
     Swish,
+    asym_squash,
+    normalize_u,
+    normalize_v,
+    projmax,
+    vector_norm,
 )
 from .resnet import (
     ConvResidualBlock,

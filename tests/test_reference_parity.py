@@ -380,3 +380,86 @@ def test_glow_base_parity(nf_ref):
     lj = ours.log_prob(jnp.asarray(x_np))
     np.testing.assert_allclose(np.asarray(lj), lr.detach().numpy(),
                                atol=1e-3)
+
+
+class TestInducedNormGeneric:
+    """Generic (p, q) induced-norm helpers and power iteration vs the
+    reference (``normflows/nets/lipschitz.py:642-714`` helpers;
+    ``132-295`` InducedNormLinear)."""
+
+    def test_normalize_helpers_parity(self, nf_ref):
+        import torch
+
+        from normflows.nets.lipschitz import (
+            normalize_u as t_normalize_u,
+            normalize_v as t_normalize_v,
+            projmax_ as t_projmax,
+        )
+
+        from nf_tpu.nets import normalize_u, normalize_v, projmax
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=37).astype(np.float32)
+        for domain in (1.0, 1.5, 2.0, 3.0):
+            ours = np.asarray(normalize_v(jnp.asarray(x), domain))
+            ref = t_normalize_v(torch.from_numpy(x.copy()), domain).numpy()
+            np.testing.assert_allclose(ours, ref, atol=1e-5,
+                                       err_msg=f"normalize_v p={domain}")
+        for codomain in (1.0, 1.5, 2.0, 3.0, float("inf")):
+            ours = np.asarray(normalize_u(jnp.asarray(x), codomain))
+            ref = t_normalize_u(torch.from_numpy(x.copy()),
+                                codomain).numpy()
+            np.testing.assert_allclose(ours, ref, atol=1e-5,
+                                       err_msg=f"normalize_u q={codomain}")
+        ours = np.asarray(projmax(jnp.asarray(x)))
+        ref = t_projmax(torch.from_numpy(x.copy())).numpy()
+        np.testing.assert_allclose(ours, ref, atol=0)
+
+    def test_asym_squash_parity(self, nf_ref):
+        import torch
+
+        from normflows.nets.lipschitz import asym_squash as t_asym_squash
+
+        from nf_tpu.nets import asym_squash
+
+        x = np.linspace(-4, 4, 23).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(asym_squash(jnp.asarray(x))),
+            t_asym_squash(torch.from_numpy(x)).numpy(), atol=1e-6)
+
+    @pytest.mark.parametrize("domain,codomain", [(1.5, 3.0), (2.0, 2.0),
+                                                 (1.0, float("inf"))])
+    def test_induced_norm_linear_sigma_parity(self, nf_ref, domain,
+                                              codomain):
+        """Weight-copied power iteration: same W and same starting u/v must
+        give the same sigma estimate and effective weight after n steps."""
+        import torch
+
+        from normflows.nets.lipschitz import InducedNormLinear as TRef
+
+        from nf_tpu.nets import InducedNormLinear
+
+        torch.manual_seed(0)
+        tl = TRef(9, 7, coeff=0.9, domain=domain, codomain=codomain,
+                  n_iterations=5)
+        key = jax.random.PRNGKey(0)
+        ours = InducedNormLinear.create(key, 9, 7, coeff=0.9,
+                                        domain=domain, codomain=codomain,
+                                        n_iterations=5)
+        # copy weight/bias AND the reference's converged u/v buffers
+        ours = ours.replace(weight=_t2j(tl.weight), bias=_t2j(tl.bias),
+                            u=_t2j(tl.u), v=_t2j(tl.v))
+        # run the same number of fresh iterations on both sides
+        tl.compute_weight(update=True, n_iterations=8)
+        ours = ours.update_power_iteration(8)
+        sigma_ref = float(torch.dot(
+            tl.u, torch.mv(tl.weight.detach(), tl.v)))
+        np.testing.assert_allclose(float(ours.scale), sigma_ref, atol=2e-4)
+        w_eff_ref = tl.compute_weight(update=False).detach().numpy()
+        np.testing.assert_allclose(np.asarray(ours._effective_weight()),
+                                   w_eff_ref, atol=2e-4)
+
+        x = np.random.default_rng(0).normal(size=(5, 9)).astype(np.float32)
+        y_ref = tl(torch.from_numpy(x)).detach().numpy()
+        y_ours = np.asarray(ours(jnp.asarray(x)))
+        np.testing.assert_allclose(y_ours, y_ref, atol=2e-4)

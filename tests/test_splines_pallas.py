@@ -112,3 +112,68 @@ def test_pallas_under_jit_and_vmap_composes():
                     use_pallas=False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y0), atol=2e-4)
     np.testing.assert_allclose(np.asarray(ld), np.asarray(l0), atol=2e-3)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fused_bwd_matches_dense_bwd(inverse):
+    """The fused Pallas backward kernel (in-kernel recompute + VJP) must
+    reproduce the dense one-hot VJP's cotangents for all four operands."""
+    from nf_tpu.ops import splines_pallas
+
+    shape, K = (1100,), 8
+    uw, uh, ud = _params(KEY, shape, K, K - 1)
+    x = 3.0 * jax.random.normal(jax.random.fold_in(KEY, 9), shape)
+
+    def f(uw, uh, ud, x):
+        y, ld = spline(x, uw, uh, ud, inverse=inverse, tails="linear",
+                       tail_bound=2.5, use_pallas=True)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(ld)
+
+    try:
+        splines_pallas.set_pallas_bwd_enabled(True)
+        g_fused = jax.grad(f, argnums=(0, 1, 2, 3))(uw, uh, ud, x)
+        splines_pallas.set_pallas_bwd_enabled(False)
+        g_dense = jax.grad(f, argnums=(0, 1, 2, 3))(uw, uh, ud, x)
+    finally:
+        splines_pallas.set_pallas_bwd_enabled(True)
+    for name, a, b in zip("wh d x".split(), g_fused, g_dense):
+        scale = np.maximum(np.max(np.abs(np.asarray(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=5e-5,
+                                   err_msg=f"grad {name}")
+        assert np.isfinite(np.asarray(a)).all()
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fused_bwd_matches_dense_bwd_kmajor(inverse):
+    """Same parity check through the k-major entry (the image-NSF training
+    feed: zero transposes in either direction)."""
+    from nf_tpu.ops import splines_pallas
+    from nf_tpu.ops.splines import (
+        unconstrained_rational_quadratic_spline_kmajor as spline_km,
+    )
+
+    n, K = 900, 6
+    ks = jax.random.split(jax.random.fold_in(KEY, 11), 4)
+    uw = jax.random.normal(ks[0], (K, n))
+    uh = jax.random.normal(ks[1], (K, n))
+    ud = jax.random.normal(ks[2], (K - 1, n))
+    x = 3.0 * jax.random.normal(ks[3], (n,))
+
+    def f(uw, uh, ud, x):
+        y, ld = spline_km(x, uw, uh, ud, inverse=inverse, tails="linear",
+                          tail_bound=2.0, use_pallas=True)
+        return jnp.sum(jnp.cos(y)) + jnp.sum(ld)
+
+    try:
+        splines_pallas.set_pallas_bwd_enabled(True)
+        g_fused = jax.grad(f, argnums=(0, 1, 2, 3))(uw, uh, ud, x)
+        splines_pallas.set_pallas_bwd_enabled(False)
+        g_dense = jax.grad(f, argnums=(0, 1, 2, 3))(uw, uh, ud, x)
+    finally:
+        splines_pallas.set_pallas_bwd_enabled(True)
+    for name, a, b in zip("wh d x".split(), g_fused, g_dense):
+        scale = np.maximum(np.max(np.abs(np.asarray(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=5e-5,
+                                   err_msg=f"grad {name}")
