@@ -96,7 +96,9 @@ def bench_torch_reference():
     """Same recipe with the reference package on CPU (BASELINE.md)."""
     if os.path.exists(CACHE_PATH):
         with open(CACHE_PATH) as f:
-            return json.load(f)["cpu_samples_per_s"]
+            cached = json.load(f)
+        if cached.get("batch") == BATCH:  # invalidate unequal-batch caches
+            return cached["cpu_samples_per_s"]
     ref_path = "/root/reference"
     if not os.path.isdir(ref_path):
         return None
@@ -117,12 +119,12 @@ def bench_torch_reference():
         model = nf.NormalizingFlow(nf.distributions.DiagGaussian(DIM), flows)
         model.eval()
 
-        bt = 4096
+        bt = BATCH  # SAME batch as the JAX side (B = 65536)
         x = torch.randn(bt, DIM)
         with torch.no_grad():
             model.forward_and_log_det(x)  # trigger ActNorm init
             # timed loop
-            iters = 4
+            iters = 2
             t0 = time.perf_counter()
             for _ in range(iters):
                 z, _ = model.forward_and_log_det(x)
@@ -130,7 +132,7 @@ def bench_torch_reference():
             dt = time.perf_counter() - t0
         sps = bt * iters / dt
         with open(CACHE_PATH, "w") as f:
-            json.dump({"cpu_samples_per_s": sps}, f)
+            json.dump({"cpu_samples_per_s": sps, "batch": bt}, f)
         return sps
     except Exception as e:
         print(f"# torch baseline failed: {e}", file=sys.stderr)

@@ -16,6 +16,25 @@ from nf_tpu.parallel import init_train_state, make_forward_kld_step
 from nf_tpu.utils.profiling import enable_compilation_cache
 
 
+def save_results():
+    """Merge this script's rows into results.json (they were previously
+    print-only, so BASELINE.md had no persisted full-recipe bf16 row)."""
+    import json
+
+    from bench_suite import RESULTS
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results.json")
+    data = {"metrics": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data.setdefault("metrics", {}).update(RESULTS)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print("merged", len(RESULTS), "rows into", path)
+
+
 def run(mixed_precision, batch=128, L=3, K=16, hidden=256, reps=8):
     key = jax.random.PRNGKey(0)
     model = models.build_glow_multiscale(
@@ -30,7 +49,8 @@ def run(mixed_precision, batch=128, L=3, K=16, hidden=256, reps=8):
     state, loss = step(state, (x, y))
     jax.block_until_ready(loss)
     dt = _two_point_steps(lambda s: step(s, (x, y)), state, reps)
-    suffix = "_bf16" if mixed_precision else ""
+    suffix = ("_bf16" if mixed_precision else "") + (
+        f"_b{batch}" if batch != 128 else "")
     fl = _step_flops(step, state, (x, y))
     extra = {"tflops_per_s": round(fl / dt / 1e12, 2)} if fl else {}
     record(f"glow_full_l3_k16_h256_train_step{suffix}", batch / dt,
@@ -42,6 +62,11 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     run(False)
     run(True)
+    # batch scaling: b=128 underfills the chip on the small convs
+    # (BASELINE.md achieved-FLOPs analysis); b=256 rows quantify the win
+    run(False, batch=256)
+    run(True, batch=256)
+    save_results()
 
 
 if __name__ == "__main__":

@@ -219,6 +219,43 @@ def bench_maf_logprob(batch=1 << 14, K=8, hidden=128, reps=8):
     record("maf_k8_log_prob", batch / dt, "evals/s")
 
 
+def _build_ar_nsf(key, dim=8, K=4, hidden=64, num_bins=8):
+    """AR-NSF stack: AutoregressiveRationalQuadraticSpline + LULinearPermute
+    (the classic MAF-asymmetric config: log_prob = 1 MADE pass, sample = D
+    sequential passes, reference ``flows/affine/autoregressive.py:29-38``)."""
+    import nf_tpu.flows as nff
+    from nf_tpu.distributions import DiagGaussian
+
+    keys = jax.random.split(key, 2 * K)
+    flows = []
+    for i in range(K):
+        flows.append(nff.AutoregressiveRationalQuadraticSpline.create(
+            keys[2 * i], num_input_channels=dim, num_blocks=2,
+            num_hidden_channels=hidden, num_bins=num_bins))
+        flows.append(nff.LULinearPermute.create(keys[2 * i + 1], dim))
+    from nf_tpu import core
+
+    return core.NormalizingFlow.create(
+        DiagGaussian.create(dim, trainable=False), flows)
+
+
+def bench_ar_nsf_sampling(batch=4096, dim=8, K=4, hidden=64, reps=4):
+    """SAMPLING throughput of the autoregressive NSF — the direction that
+    pays the D-pass MADE inverse as a ``lax.scan`` (previously unmeasured;
+    log_prob is the cheap single-pass direction)."""
+    model = _build_ar_nsf(jax.random.PRNGKey(0), dim=dim, K=K,
+                          hidden=hidden)
+
+    def body(k):
+        k, sub = jax.random.split(k)
+        z, log_q = model.sample(sub, batch)
+        return jax.random.fold_in(k, (jnp.sum(log_q) > 0).astype(jnp.int32))
+
+    dt = timed_chain(body, jax.random.PRNGKey(1), reps, label="ar_sample")
+    record(f"ar_nsf_k{K}_dim{dim}_sampling", batch / dt, "samples/s",
+           note="D-pass MADE inverse per layer")
+
+
 def bench_hais(chains=1 << 13, n_anneal=16, reps=4):
     """Stochastic-NF sampling throughput: HAIS chains/s (annealed HMC over
     a LinearInterpolation bridge; reference ``sampling/hais.py``)."""

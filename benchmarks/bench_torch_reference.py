@@ -1,0 +1,176 @@
+"""Reference-column runner: same-recipe PyTorch-CPU timings for every
+results.json row that the reference package can express.
+
+Run AFTER ``bench_suite.py``; merges a ``reference`` block into each metric:
+
+    python benchmarks/bench_torch_reference.py
+
+Configs mirror the JAX suite exactly (dims, depths, hidden sizes, batch
+sizes). Rows the reference CANNOT run get an explicit note instead of a
+number (image-NSF: the reference ships the 4D spline coupling pieces but no
+assembled multi-scale image NSF; bf16 Glow: the reference has no mixed-
+precision story).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+RESULTS_PATH = os.path.join(HERE, "results.json")
+
+sys.path.insert(0, "/root/reference")
+
+import torch  # noqa: E402
+import normflows as nf  # noqa: E402
+
+torch.set_num_threads(os.cpu_count() or 1)
+
+REF = {}
+
+
+def record(name, value, unit, **extra):
+    REF[name] = dict(value=round(value, 2), unit=unit, **extra)
+    print(f"{name:40s} {value:14.1f} {unit}", flush=True)
+
+
+def _time_loop(fn, iters=3):
+    fn()  # warmup
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_nsf_logprob(batch=1 << 14, K=8, hidden=128, num_bins=8):
+    torch.manual_seed(0)
+    flows = []
+    for i in range(K):
+        flows.append(nf.flows.CoupledRationalQuadraticSpline(
+            2, 2, hidden, num_bins=num_bins, reverse_mask=(i % 2 == 1)))
+        flows.append(nf.flows.LULinearPermute(2))
+    model = nf.NormalizingFlow(nf.distributions.DiagGaussian(
+        2, trainable=False), flows).eval()
+    x = torch.randn(batch, 2)
+    with torch.no_grad():
+        dt = _time_loop(lambda: model.log_prob(x))
+    record("nsf_k8_log_prob", batch / dt, "evals/s")
+
+
+def bench_maf_logprob(batch=1 << 14, K=8, hidden=128, dim=8):
+    torch.manual_seed(0)
+    flows = []
+    for i in range(K):
+        flows.append(nf.flows.MaskedAffineAutoregressive(dim, hidden,
+                                                         num_blocks=2))
+        flows.append(nf.flows.Permute(dim))
+    model = nf.NormalizingFlow(nf.distributions.DiagGaussian(
+        dim, trainable=False), flows).eval()
+    x = torch.randn(batch, dim)
+    with torch.no_grad():
+        dt = _time_loop(lambda: model.log_prob(x))
+    record("maf_k8_log_prob", batch / dt, "evals/s")
+
+
+def bench_ar_nsf_sampling(batch=4096, dim=8, K=4, hidden=64, num_bins=8):
+    torch.manual_seed(0)
+    flows = []
+    for i in range(K):
+        flows.append(nf.flows.AutoregressiveRationalQuadraticSpline(
+            dim, 2, hidden, num_bins=num_bins))
+        flows.append(nf.flows.LULinearPermute(dim))
+    model = nf.NormalizingFlow(nf.distributions.DiagGaussian(
+        dim, trainable=False), flows).eval()
+    with torch.no_grad():
+        dt = _time_loop(lambda: model.sample(batch), iters=2)
+    record(f"ar_nsf_k{K}_dim{dim}_sampling", batch / dt, "samples/s",
+           note="D sequential MADE passes per layer "
+                "(autoregressive.py:29-38)")
+
+
+def bench_hais(chains=1 << 13, n_anneal=16):
+    torch.manual_seed(0)
+    hais = nf.sampling.HAIS(
+        torch.linspace(1.0, 0.0, n_anneal + 1),
+        nf.distributions.DiagGaussian(2, trainable=False),
+        nf.distributions.TwoModes(2.0, 0.2),
+        num_leapfrog=5, step_size=torch.tensor([0.1, 0.1]),
+        log_mass=torch.tensor([0.0, 0.0]))
+    dt = _time_loop(lambda: hais.sample(chains), iters=2)
+    record("hais_16step_hmc_sampling", chains / dt, "chains/s")
+
+
+def bench_realnvp_roundtrip(batch=1 << 16, K=16, hidden=128):
+    """EQUAL-batch counterpart of bench.py's headline (B = 65536 on both
+    sides now; the round-1 torch column ran B=4096)."""
+    torch.manual_seed(0)
+    flows = []
+    for i in range(K):
+        b = torch.tensor([(j + i) % 2 for j in range(2)],
+                         dtype=torch.float32)
+        s = nf.nets.MLP([2, hidden, hidden, 2], init_zeros=True)
+        t = nf.nets.MLP([2, hidden, hidden, 2], init_zeros=True)
+        flows.append(nf.flows.MaskedAffineFlow(b, t, s))
+        flows.append(nf.flows.ActNorm(2))
+    model = nf.NormalizingFlow(nf.distributions.DiagGaussian(2), flows)
+    model.eval()
+    x = torch.randn(batch, 2)
+
+    def body():
+        with torch.no_grad():
+            z, _ = model.forward_and_log_det(x)
+            model.inverse_and_log_det(z)
+
+    dt = _time_loop(body, iters=2)
+    record("realnvp_k16_roundtrip", batch / dt, "samples/s")
+
+
+CANNOT_RUN = {
+    "image_nsf_l2_k4_train_step": (
+        "reference ships the 4D spline coupling + ConvResidualNet pieces "
+        "but no assembled multi-scale image-NSF model"),
+    "glow_l2_k8_train_step_bf16": (
+        "reference has no mixed-precision path (pure f32 eager)"),
+    "rqs_spline_pallas_kernel": (
+        "reference spline is an eager op composition, measured as "
+        "rqs_spline gather lowering in BASELINE.md (~0.008 Gelem/s)"),
+}
+
+
+def main():
+    print(f"torch {torch.__version__}, threads {torch.get_num_threads()}")
+    bench_realnvp_roundtrip()
+    bench_nsf_logprob()
+    bench_maf_logprob()
+    bench_ar_nsf_sampling()
+    bench_hais()
+
+    if os.path.exists(RESULTS_PATH):
+        with open(RESULTS_PATH) as f:
+            results = json.load(f)
+        for name, metric in results.get("metrics", {}).items():
+            if name in REF:
+                ref = REF[name]
+                metric["reference"] = ref
+                if ref["value"]:
+                    metric["vs_reference"] = round(
+                        metric["value"] / ref["value"], 1)
+            elif name in CANNOT_RUN:
+                metric["reference"] = {"note": CANNOT_RUN[name]}
+        results["reference_runner"] = {
+            "torch_version": torch.__version__,
+            "threads": torch.get_num_threads()}
+        with open(RESULTS_PATH, "w") as f:
+            json.dump(results, f, indent=2)
+        print("merged reference columns into", RESULTS_PATH)
+    else:
+        print("results.json not found; reference numbers printed only")
+
+
+if __name__ == "__main__":
+    main()

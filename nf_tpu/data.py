@@ -151,6 +151,25 @@ def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):
                 break
 
 
+def procedural_image_classes(seed: int, n: int, num_classes: int = 10,
+                             size: int = 32, channels: int = 3):
+    """Class-structured procedural RGB images (uint8 NCHW) + labels — the
+    zero-download stand-in for CIFAR-10 used by the image recipes
+    (class-dependent colored sinusoid blobs + uniform texture). Pure numpy
+    so data generation is backend- and framework-neutral."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, size=n)
+    yy, xx = np.mgrid[0:size, 0:size] / size
+    phase = y[:, None, None] / num_classes * 2 * np.pi
+    base = 0.5 + 0.5 * np.sin(2 * np.pi * (xx + yy)[None] + phase)
+    rgb = np.stack([np.cos(phase), np.sin(phase),
+                    np.cos(2 * phase)], 1)[:, :channels]
+    img = 0.6 * base[:, None] * (0.5 + 0.5 * rgb)
+    img = img + 0.1 * rng.random((n, channels, size, size))
+    return ((np.clip(img, 0, 1) * 255).astype(np.uint8),
+            y.astype(np.int32))
+
+
 def load_npz_images(path: str, keys: Sequence[str] = ("x", "y"),
                     to_unit_interval: bool = True):
     """Load image arrays from an ``.npz`` (the ``--data`` convention of the

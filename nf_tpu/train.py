@@ -70,12 +70,122 @@ def build_model(cfg: TrainConfig, key):
     raise ValueError(f"unknown model {cfg.model!r}")
 
 
+def train_image(cfg: TrainConfig):
+    """Image-stack path of the train binary: Glow / image-NSF on npz or
+    procedural data, with dequantization, bits/dim eval, orbax checkpoints
+    and JSONL logging (reference recipe: ``examples/glow.ipynb`` cells 3-6;
+    the reference itself has no trainer binary)."""
+    import numpy as np
+
+    from .data import load_npz_images, procedural_image_classes
+    from .utils.eval import bits_per_dim
+    from .utils.preprocessing import Jitter, Scale
+
+    key = jax.random.PRNGKey(cfg.seed)
+    mesh = make_mesh(("data",))
+    print(f"mesh: {mesh.shape} on {jax.default_backend()}")
+
+    if cfg.data:
+        loaded = load_npz_images(cfg.data)
+        x_all, y_all = loaded if isinstance(loaded, tuple) \
+            else (loaded, np.zeros(len(loaded), np.int32))
+        x_all = np.asarray(x_all)  # [0,1] float from uint8/256
+    else:
+        x_u8, y_all = procedural_image_classes(cfg.seed, 2048,
+                                               size=cfg.image_size)
+        x_all = x_u8.astype(np.float32) / 255.0
+    n, input_shape = len(x_all), x_all.shape[1:]
+    n_train = max(int(n * 0.9), 1)
+    x_train, y_train = x_all[:n_train], y_all[:n_train]
+    x_test, y_test = x_all[n_train:], y_all[n_train:]
+    print(f"data: {n_train} train / {len(x_test)} test, shape {input_shape}")
+
+    scale, jitter = Scale(), Jitter()
+    rng = np.random.default_rng(cfg.seed + 1)
+
+    def host_batch():
+        idx = rng.integers(0, n_train, size=cfg.batch_size)
+        x = scale(jnp.asarray(x_train[idx]))
+        x = jitter(x, jax.random.PRNGKey(int(rng.integers(1 << 31))))
+        return x, jnp.asarray(y_train[idx])
+
+    key, sub = jax.random.split(key)
+    if cfg.model == "glow":
+        model = models.build_glow_multiscale(
+            sub, input_shape=input_shape, L=cfg.levels, K=cfg.num_layers,
+            hidden_channels=cfg.hidden, class_cond=cfg.class_cond,
+            scan=cfg.scan, mixed_precision=cfg.bf16)
+    else:
+        model = models.build_image_nsf(
+            sub, input_shape=input_shape, L=cfg.levels, K=cfg.num_layers,
+            hidden_channels=cfg.hidden, num_bins=cfg.num_bins,
+            class_cond=cfg.class_cond, mixed_precision=cfg.bf16)
+
+    x0, y0 = host_batch()
+    model = model.init_from_data(x0, y0 if cfg.class_cond else None)
+
+    opt = (optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+           if cfg.weight_decay else optax.adam(cfg.lr))
+    state, static = init_train_state(model, opt)
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir \
+        else None
+    start_step = 0
+    if ckpt is not None:
+        restored, step = ckpt.restore(state)
+        if restored is not None:
+            state, start_step = restored, int(step)
+            print(f"resumed from step {start_step}")
+    logger = MetricLogger(cfg.log_path) if cfg.log_path else None
+
+    step_fn = make_forward_kld_step(static, opt, mesh=mesh)
+
+    from .parallel.train import model_of_state
+
+    def eval_bpd(state):
+        if not len(x_test):
+            return float("nan")
+        m = model_of_state(state, static)
+        xt = scale(jnp.asarray(x_test))
+        xt = jitter(xt, jax.random.PRNGKey(cfg.seed + 2))
+        b = bits_per_dim(m, xt, jnp.asarray(y_test) if cfg.class_cond
+                         else None)
+        return float(jnp.nanmean(b))
+
+    t0 = time.time()
+    for it in range(start_step, cfg.iters):
+        batch = host_batch()
+        state, loss = step_fn(
+            state, shard_batch(mesh, batch if cfg.class_cond
+                               else batch[0]))
+        if it % cfg.log_every == 0 or it == cfg.iters - 1:
+            loss_f = float(loss)
+            rate = (it - start_step + 1) / (time.time() - t0)
+            bpd = eval_bpd(state)
+            print(f"step {it:7d}  loss {loss_f:+.1f}  bits/dim {bpd:.4f}  "
+                  f"{rate:.1f} it/s", flush=True)
+            if logger is not None:
+                logger.log(it, loss=loss_f, bits_per_dim=bpd,
+                           it_per_s=rate)
+        if ckpt is not None and (it + 1) % cfg.checkpoint_every == 0:
+            ckpt.save(it + 1, state, wait=False)
+    if ckpt is not None:
+        ckpt.save(cfg.iters, state)
+        ckpt.wait_until_finished()
+    if logger is not None:
+        logger.close()
+    print(f"done: {cfg.iters - start_step} steps in {time.time() - t0:.1f}s")
+    return state
+
+
 def main(argv=None):
     from .utils import enable_compilation_cache
 
     enable_compilation_cache()
     cfg = TrainConfig.from_args(argv)
     print(cfg.to_json())
+    if cfg.model in ("glow", "image_nsf"):
+        return train_image(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     mesh = make_mesh(("data",))
     print(f"mesh: {mesh.shape} on {jax.default_backend()}")

@@ -12,9 +12,17 @@ from typing import Optional
 
 @dataclasses.dataclass
 class TrainConfig:
-    model: str = "realnvp"  # realnvp | nsf | circular_nsf | maf | residual
-    # (image models: use examples/glow.py — the train binary is 2D-targets)
+    model: str = "realnvp"
+    # realnvp | nsf | circular_nsf | maf | residual   (2D targets)
+    # glow | image_nsf                                 (image stack)
     target: str = "two_modes"  # two_modes | two_moons | circular_gmm | rings
+    # --- image-stack options (model = glow | image_nsf) ---
+    data: Optional[str] = None  # .npz with x (N,C,H,W) uint8 [, y (N,)];
+    # None = procedural class-structured images (nf_tpu.data)
+    levels: int = 2  # multi-scale levels L
+    image_size: int = 32
+    class_cond: bool = True
+    scan: bool = True  # lax.scan the K blocks per level
     loss: str = "reverse_kld"  # reverse_kld | forward_kld
     dim: int = 2
     num_layers: int = 8
@@ -41,9 +49,11 @@ class TrainConfig:
             # dispatch on the default's concrete type (bool must be checked
             # before int: isinstance(True, int) is True, and 0 == False).
             if isinstance(f.default, bool):
-                parser.add_argument(f"--{f.name}",
-                                    action="store_false" if f.default
-                                    else "store_true")
+                if f.default:
+                    parser.add_argument(f"--no_{f.name}", dest=f.name,
+                                        action="store_false")
+                else:
+                    parser.add_argument(f"--{f.name}", action="store_true")
             elif isinstance(f.default, (int, float, str)):
                 parser.add_argument(f"--{f.name}", type=type(f.default),
                                     default=f.default)
