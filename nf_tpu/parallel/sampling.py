@@ -35,7 +35,7 @@ def make_sharded_sampler(mesh: Mesh, num_samples: int, axis: str = "data"):
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P(), P()),
-        out_specs=(P(axis), P(axis)), check_vma=False)
+        out_specs=(P(axis), P(axis)))
     def sample(sampler, key):
         idx = jax.lax.axis_index(axis)
         z, log_w = sampler.sample(jax.random.fold_in(key, idx), local)

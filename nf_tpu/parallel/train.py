@@ -203,7 +203,6 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P()),  # everything replicated; RNG folded
         out_specs=(P(), P()),
-        check_vma=False,
     )
     def sharded_grads(params, buffers, key, beta):
         idx = jax.lax.axis_index(axis)
