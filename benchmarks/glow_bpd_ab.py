@@ -201,7 +201,8 @@ def cmd_jax(args):
     x_tr, y_tr = d["x_train"], d["y_train"]
 
     model = build_glow_multiscale(
-        jax.random.PRNGKey(0), input_shape=INPUT_SHAPE, L=L, K=K,
+        jax.random.PRNGKey(args.model_seed), input_shape=INPUT_SHAPE, L=L,
+        K=K,
         hidden_channels=HIDDEN, num_classes=NUM_CLASSES, class_cond=True,
         scan=True)
     # the reference notebook model has NO logit transform (cell 2):
@@ -322,6 +323,9 @@ def main():
         sp.add_argument("--iters", type=int, default=1000)
         sp.add_argument("--train-jitter-seed", type=int,
                         default={"torch": 41, "jax": 42}[fw])
+        sp.add_argument("--model-seed", type=int, default=0,
+                        help="parameter-init seed (jax side); vary to "
+                             "measure the init-variance MC band")
         sp.add_argument("--out", type=str,
                         default=os.path.join(OUT, f"glow_ab_{fw}.jsonl"))
     sub.add_parser("report")

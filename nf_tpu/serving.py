@@ -5,9 +5,16 @@ serving the right artifact is an XLA executable compiled once for a fixed
 batch shape, with parameters resident on device:
 
 * :func:`compile_sampler` — AOT-compiled ``sample(key) -> (z, log_q)`` at a
-  fixed ``num_samples`` (and temperature where the model supports it).
+  fixed ``num_samples`` (and temperature where the model supports it);
+  conditional models take a context array, class-conditional models
+  (``class_cond=True``) a label vector.
 * :func:`compile_log_prob` — AOT-compiled density evaluation at a fixed
-  batch shape.
+  batch shape (same context/label options).
+* :func:`compile_log_prob_buckets` — the ragged-request story: compile a
+  small ladder of batch-size buckets once, then serve ANY request size by
+  padding up to the nearest bucket and slicing the answer back — no
+  recompiles at serve time, bounded wasted compute (< 2x worst case with
+  power-of-two buckets).
 
 Both return a :class:`CompiledFn` that executes with zero Python/dispatch
 overhead beyond the runtime call, exposes XLA's ``cost_analysis`` (FLOPs /
@@ -73,18 +80,39 @@ def _key_spec(typed_key: bool):
 def compile_sampler(model, num_samples: int,
                     temperature: Optional[float] = None,
                     context_shape: Optional[Tuple[int, ...]] = None,
+                    class_cond: bool = False,
                     dtype=jnp.float32, typed_key: bool = False) -> CompiledFn:
-    """AOT-compile ``sample``: returns ``CompiledFn(key[, context])``.
+    """AOT-compile ``sample``: returns ``CompiledFn(key[, context | y])``.
 
     ``temperature`` is baked into the executable when given (models without
     temperature support simply ignore it being None). ``context_shape`` is
     the per-call context array shape for conditional models (leading dim
     must broadcast against ``num_samples``); the conditional containers
-    take no temperature, so combining the two raises. ``typed_key`` selects
-    which key flavor the executable accepts (see :func:`_key_spec`).
+    take no temperature, so combining the two raises. ``class_cond=True``
+    compiles for label-conditional models (``ClassCondFlow`` /
+    class-conditional ``MultiscaleFlow``): the executable takes an int32
+    label vector ``y`` of length ``num_samples`` and DOES compose with
+    ``temperature``. ``typed_key`` selects which key flavor the executable
+    accepts (see :func:`_key_spec`).
     """
     params, static = partition(model)
     key_spec = _key_spec(typed_key)
+
+    if class_cond:
+        if context_shape is not None:
+            raise ValueError("class_cond and context_shape are exclusive: "
+                             "labels condition the base, context threads "
+                             "through the layers")
+        y_spec = jax.ShapeDtypeStruct((num_samples,), jnp.int32)
+        if temperature is not None:
+            def fn(p, key, y):
+                m = combine(p, static)
+                return m.sample(key, num_samples, y=y,
+                                temperature=temperature)
+        else:
+            def fn(p, key, y):
+                return combine(p, static).sample(key, num_samples, y=y)
+        return CompiledFn(_aot(fn, params, key_spec, y_spec), params)
 
     if context_shape is not None:
         if temperature is not None:
@@ -113,11 +141,23 @@ def compile_sampler(model, num_samples: int,
 
 def compile_log_prob(model, batch_shape: Tuple[int, ...],
                      context_shape: Optional[Tuple[int, ...]] = None,
+                     class_cond: bool = False,
                      dtype=jnp.float32) -> CompiledFn:
     """AOT-compile ``log_prob`` at a fixed batch shape:
-    ``CompiledFn(x[, context]) -> log_p``."""
+    ``CompiledFn(x[, context | y]) -> log_p``. ``class_cond=True`` takes an
+    int32 label vector ``y`` alongside ``x`` (``ClassCondFlow.log_prob`` /
+    class-conditional ``MultiscaleFlow.log_prob``)."""
     params, static = partition(model)
     x_spec = jax.ShapeDtypeStruct(batch_shape, dtype)
+    if class_cond:
+        if context_shape is not None:
+            raise ValueError("class_cond and context_shape are exclusive")
+        y_spec = jax.ShapeDtypeStruct((batch_shape[0],), jnp.int32)
+
+        def fn(p, x, y):
+            return combine(p, static).log_prob(x, y)
+
+        return CompiledFn(_aot(fn, params, x_spec, y_spec), params)
     if context_shape is not None:
         def fn(p, x, context):
             return combine(p, static).log_prob(x, context=context)
@@ -128,3 +168,71 @@ def compile_log_prob(model, batch_shape: Tuple[int, ...],
     def fn(p, x):
         return combine(p, static).log_prob(x)
     return CompiledFn(_aot(fn, params, x_spec), params)
+
+
+class BucketedFn:
+    """Ragged-request wrapper over a ladder of fixed-batch executables.
+
+    Serving traffic rarely arrives in one fixed batch size, and XLA
+    executables are shape-specialized. This wrapper compiles each bucket
+    once; a request of ``n`` rows pads to the smallest bucket >= n (edge
+    rows repeat row 0 — harmless, they are sliced off) and returns exactly
+    ``n`` results. Worst-case wasted compute with power-of-two buckets is
+    < 2x, and there are NO serve-time recompiles.
+    """
+
+    def __init__(self, fns, buckets):
+        self._fns = dict(zip(buckets, fns))
+        self._buckets = sorted(buckets)
+
+    @property
+    def buckets(self):
+        return tuple(self._buckets)
+
+    def _bucket_for(self, n):
+        for b in self._buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"request batch {n} exceeds the largest bucket "
+                         f"{self._buckets[-1]}")
+
+    def __call__(self, x, *extras):
+        n = x.shape[0]
+        b = self._bucket_for(n)
+        pad = [(0, b - n)] + [(0, 0)] * (x.ndim - 1)
+        xp = jnp.pad(x, pad, mode="edge")
+        extras_p = tuple(
+            jnp.pad(e, [(0, b - n)] + [(0, 0)] * (e.ndim - 1), mode="edge")
+            for e in extras)
+        out = self._fns[b](xp, *extras_p)
+        return jax.tree_util.tree_map(lambda o: o[:n], out)
+
+    def with_model(self, model):
+        fns = [self._fns[b].with_model(model) for b in self._buckets]
+        return BucketedFn(fns, self._buckets)
+
+
+def compile_log_prob_buckets(model, max_batch: int,
+                             feature_shape: Tuple[int, ...],
+                             buckets: Optional[Tuple[int, ...]] = None,
+                             context_shape: Optional[Tuple[int, ...]] = None,
+                             class_cond: bool = False,
+                             dtype=jnp.float32) -> BucketedFn:
+    """Compile a power-of-two ladder of ``log_prob`` executables up to
+    ``max_batch`` and serve any request size by pad-to-bucket
+    (:class:`BucketedFn`). ``feature_shape`` is the per-row shape;
+    ``context_shape`` likewise per-row for conditional models."""
+    if buckets is None:
+        b, buckets = 1, []
+        while b < max_batch:
+            buckets.append(b)
+            b *= 2
+        buckets = tuple(sorted(set(buckets + [max_batch])))
+    fns = []
+    for b in buckets:
+        ctx = ((b,) + tuple(context_shape) if context_shape is not None
+               else None)
+        fns.append(compile_log_prob(
+            model, (b,) + tuple(feature_shape), context_shape=ctx,
+            class_cond=class_cond, dtype=dtype))
+    return BucketedFn(fns, buckets)

@@ -93,3 +93,66 @@ def test_compiled_multiscale_sampler_temperature():
     z, _ = served(jax.random.PRNGKey(9))
     assert z.shape == (4, 3, 8, 8)
     assert bool(jnp.isfinite(z).all())
+
+
+def test_class_cond_sampler_and_log_prob():
+    """Class-conditional AOT entries: labels thread into the base
+    (reference ClassCondFlow semantics, core.py:369-452)."""
+    from nf_tpu.serving import compile_log_prob as clp
+    from nf_tpu.serving import compile_sampler as cs
+
+    key = jax.random.PRNGKey(0)
+    model = models.build_glow_multiscale(
+        key, input_shape=(3, 8, 8), L=1, K=1, hidden_channels=8,
+        class_cond=True, num_classes=4)
+    x0 = jax.random.uniform(key, (6, 3, 8, 8), minval=0.1, maxval=0.9)
+    y0 = jnp.arange(6, dtype=jnp.int32) % 4
+    model = model.init_from_data(x0, y0)
+
+    sampler = cs(model, num_samples=6, class_cond=True, temperature=0.7)
+    z, log_q = sampler(jax.random.PRNGKey(1), y0)
+    assert z.shape == (6, 3, 8, 8)
+    assert np.isfinite(np.asarray(log_q)).all()
+
+    lp = clp(model, (6, 3, 8, 8), class_cond=True)
+    got = np.asarray(lp(x0, y0))
+    want = np.asarray(model.log_prob(x0, y0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_bucketed_log_prob_serves_ragged_batches():
+    from nf_tpu.serving import compile_log_prob_buckets
+
+    key = jax.random.PRNGKey(0)
+    model = models.build_realnvp(key, dim=2, K=2, hidden=[8, 8])
+    model = model.init_from_samples(key, 64)
+    served = compile_log_prob_buckets(model, max_batch=16,
+                                      feature_shape=(2,))
+    assert served.buckets == (1, 2, 4, 8, 16)
+    for n in (1, 3, 5, 8, 13, 16):
+        x = jax.random.normal(jax.random.fold_in(key, n), (n, 2))
+        got = np.asarray(served(x))
+        assert got.shape == (n,)
+        np.testing.assert_allclose(got, np.asarray(model.log_prob(x)),
+                                   rtol=1e-5, atol=1e-4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        served(jnp.zeros((17, 2)))
+
+
+def test_bucketed_class_cond():
+    from nf_tpu.serving import compile_log_prob_buckets
+
+    key = jax.random.PRNGKey(0)
+    model = models.build_glow_multiscale(
+        key, input_shape=(3, 8, 8), L=1, K=1, hidden_channels=8,
+        class_cond=True, num_classes=4)
+    x0 = jax.random.uniform(key, (8, 3, 8, 8), minval=0.1, maxval=0.9)
+    y0 = jnp.arange(8, dtype=jnp.int32) % 4
+    model = model.init_from_data(x0, y0)
+    served = compile_log_prob_buckets(model, max_batch=8,
+                                      feature_shape=(3, 8, 8),
+                                      class_cond=True, buckets=(4, 8))
+    got = np.asarray(served(x0[:3], y0[:3]))
+    want = np.asarray(model.log_prob(x0[:3], y0[:3]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
