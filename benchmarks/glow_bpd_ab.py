@@ -29,6 +29,9 @@ Usage (from repo root):
 
 Results land in ``benchmarks/out/glow_ab_{torch,jax}.jsonl`` and the merged
 table in ``benchmarks/out/glow_ab_report.md`` (copied into docs/accuracy.md).
+The measured round-2 curves + report are committed under
+``benchmarks/glow_ab/`` (out/ itself is gitignored — it holds the 23 MB
+shared-data npz).
 """
 
 import argparse
@@ -270,12 +273,15 @@ def cmd_jax(args):
 
 # --------------------------------------------------------------- report ---
 def cmd_report(_args):
+    import glob
+
     rows = []
-    for fw in ("torch", "jax"):
-        p = os.path.join(OUT, f"glow_ab_{fw}.jsonl")
-        if os.path.exists(p):
-            with open(p) as f:
-                rows += [json.loads(line) for line in f if line.strip()]
+    # all torch runs + all jax seed runs (glow_ab_jax*.jsonl): the spread
+    # over model-init seeds IS the dominant MC-error term
+    for p in sorted(glob.glob(os.path.join(OUT, "glow_ab_torch*.jsonl"))
+                    + glob.glob(os.path.join(OUT, "glow_ab_jax*.jsonl"))):
+        with open(p) as f:
+            rows += [json.loads(line) for line in f if line.strip()]
     by = {}
     for r in rows:
         by.setdefault((r["iter"], r["framework"]), []).append(r)
