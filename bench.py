@@ -64,19 +64,24 @@ def bench_jax():
         return xf, acc
 
     x = jax.random.normal(key, (BATCH, DIM))
-    # warmup/compile both chain lengths
-    xf, acc = run(x)
-    xf.block_until_ready()
-    run4(x)[0].block_until_ready()
+    # warmup/compile both chain lengths; the float() fetch is load-bearing:
+    # on the axon relay block_until_ready can be a NO-OP for buffers never
+    # materialized by a host fetch, silently deferring the compile+run.
+    float(run(x)[1])
+    float(run4(x)[1])
 
     # Two-point fit wall(R) = C + R*d: the axon relay's fixed ~30 ms
     # launch overhead C cancels between R and 4R chains, leaving true
     # per-roundtrip device time (see benchmarks/bench_suite.py docstring).
+    # Inputs are perturbed per try (relay memoizes identical calls) and the
+    # sync point is a host scalar fetch of the chained log-det sum.
     def best(f, tries=3):
         b = float("inf")
-        for _ in range(tries):
+        for i in range(tries):
+            xp = x + (1e-6 * (i + 1))
+            float(xp[0, 0])
             t0 = time.perf_counter()
-            f(x)[0].block_until_ready()
+            float(f(xp)[1])
             b = min(b, time.perf_counter() - t0)
         return b
 

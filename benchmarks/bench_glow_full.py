@@ -47,7 +47,7 @@ def run(mixed_precision, batch=128, L=3, K=16, hidden=256, reps=8):
     state, static = init_train_state(model, opt)
     step = make_forward_kld_step(static, opt)
     state, loss = step(state, (x, y))
-    jax.block_until_ready(loss)
+    float(loss)  # host fetch: block_until_ready can no-op on the relay
     dt = _two_point_steps(lambda s: step(s, (x, y)), state, reps)
     suffix = ("_bf16" if mixed_precision else "") + (
         f"_b{batch}" if batch != 128 else "")

@@ -28,7 +28,7 @@ def run(use_pallas, fused_bwd=True, batch=64, L=2, K=4, hidden=64, reps=8):
     state, static = init_train_state(model, opt)
     step = make_forward_kld_step(static, opt)
     state, loss = step(state, x)
-    jax.block_until_ready(loss)
+    float(loss)  # host fetch: block_until_ready can no-op on the relay
     dt = _two_point_steps(lambda s: step(s, x), state, reps)
     name = ("pallas" if fused_bwd else "pallas_dense_bwd") if use_pallas \
         else "dense"

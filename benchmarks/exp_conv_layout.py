@@ -71,9 +71,35 @@ def bench(nhwc, reps=8):
     return d
 
 
+def bench_shape(nhwc, b, c_in, c_h, c_out, s, reps=8):
+    """One conditioner stack at explicit shapes (value+grad)."""
+    global B, C_IN, C_H, C_OUT, S
+    B, C_IN, C_H, C_OUT, S = b, c_in, c_h, c_out, s
+    return bench(nhwc, reps=reps)
+
+
 def main():
     enable_compilation_cache()
     print("backend:", jax.default_backend(), flush=True)
+    if "--glow-full" in sys.argv:
+        # FULL reference recipe (L=3, K=16, hidden=256, b=128): the three
+        # levels' coupling-conditioner shapes. ch_i = 3*2^(L+1-i), split in
+        # half for the coupling -> conv in=ch/2, out=ch (shift+scale),
+        # spatial 32/2^(L-i). The conditioners are ~all of Glow's FLOPs, so
+        # this IS the full-recipe layout experiment without refactoring the
+        # flow layers to NHWC.
+        total = {False: 0.0, True: 0.0}
+        for (ci, co, s) in [(24, 48, 4), (12, 24, 8), (6, 12, 16)]:
+            for nhwc in (False, True):
+                print(f"  level shape in={ci} out={co} {s}x{s} "
+                      f"{'NHWC' if nhwc else 'NCHW'}:", flush=True)
+                d = bench_shape(nhwc, 128, ci, 256, co, s)
+                total[nhwc] += d * 16  # K=16 blocks per level
+        print(f"full-recipe conditioner total (x16 blocks/level): "
+              f"NCHW {total[False]*1e3:.2f} ms  NHWC {total[True]*1e3:.2f} "
+              f"ms  NHWC speedup {total[False]/total[True]:.2f}x",
+              flush=True)
+        return
     d_nchw = bench(False)
     d_nhwc = bench(True)
     print(f"NHWC speedup over NCHW: {d_nchw / d_nhwc:.2f}x", flush=True)
