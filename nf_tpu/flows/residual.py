@@ -250,8 +250,12 @@ class iResBlock(Module):
                 acc = acc + signs[k_idx] * inv_k[k_idx] * coeffs[k_idx] * tr
                 return (vjp, acc), None
 
+            # Initial accumulator derived from x so it inherits x's varying
+            # mesh axes: a bare jnp.zeros is replicated and trips the
+            # shard_map vma checker (carry-in/out type mismatch) when this
+            # runs inside a sample-sharded region.
             (_, logdetgrad), _ = jax.lax.scan(
-                body, (vareps, jnp.zeros(x.shape[0], x.dtype)),
+                body, (vareps, jnp.zeros_like(x[:, 0])),
                 jnp.arange(cap))
         return g, logdetgrad
 
