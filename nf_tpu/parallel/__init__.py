@@ -20,9 +20,11 @@ from .sampling import log_normalizer, make_sharded_sampler
 from .tp import param_shardings, shard_params
 from .train import (
     TrainState,
+    ema_model,
     init_train_state,
     make_forward_kld_step,
     make_reverse_kld_step,
     model_of_state,
+    reshape_for_accum,
     shard_batch,
 )

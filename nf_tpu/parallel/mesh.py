@@ -37,12 +37,17 @@ def make_mesh(axis_names: Sequence[str] = ("data",),
     return Mesh(dev_array, axis_names)
 
 
-def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch/sample) axis, replicate the rest.
-    0-dim leaves (per-batch scalar metadata) replicate."""
+def data_sharding(mesh: Mesh, ndim: int, axis: str = "data",
+                  dim: int = 0) -> NamedSharding:
+    """Shard one (batch/sample) axis — ``dim``, default the leading one —
+    over the ``axis`` mesh axis, replicate the rest. 0-dim leaves (per-batch
+    scalar metadata) replicate. ``dim=1`` is the microbatched layout
+    ``(accum_steps, micro, ...)`` used by gradient accumulation."""
     if ndim == 0:
         return NamedSharding(mesh, P())
-    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+    spec = [None] * ndim
+    spec[dim] = axis
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

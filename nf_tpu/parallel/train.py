@@ -39,32 +39,44 @@ class TrainState(Module):
     the model's non-trainable array state so in-step updates to it
     (spectral-norm power iteration, ...) persist; otherwise buffers live in
     the baked ``static`` closure of the step function.
+
+    ``ema_params`` (None unless ``init_train_state(with_ema=True)``) is an
+    exponential moving average of ``params``, updated inside the step when
+    the step factory gets ``ema_decay``; evaluate with :func:`ema_model`.
+    The reference has no EMA story — this is standard Glow/large-image
+    practice added for production training.
     """
 
     params: Any
     opt_state: Any
     step: jax.Array
     buffers: Any = None
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params, optimizer, buffers=None):
+    def create(cls, params, optimizer, buffers=None, with_ema=False):
         return cls(params=params, opt_state=optimizer.init(params),
-                   step=jnp.zeros((), jnp.int32), buffers=buffers)
+                   step=jnp.zeros((), jnp.int32), buffers=buffers,
+                   ema_params=params if with_ema else None)
 
 
-def init_train_state(model, optimizer, carry_buffers=False):
+def init_train_state(model, optimizer, carry_buffers=False, with_ema=False):
     """Split ``model`` into (TrainState, static); reunite with
     :func:`model_of_state`.
 
     ``carry_buffers=True`` threads the buffer arrays through the TrainState
     (required when the step mutates them, e.g. ``post_update=
     update_lipschitz``); the returned ``static`` then holds config only.
+
+    ``with_ema=True`` adds an EMA copy of the params to the state (updated
+    by step factories built with ``ema_decay=...``).
     """
     params, static = partition(model)
     if carry_buffers:
         buffers, config = partition_arrays(static)
-        return TrainState.create(params, optimizer, buffers=buffers), config
-    return TrainState.create(params, optimizer), static
+        return (TrainState.create(params, optimizer, buffers=buffers,
+                                  with_ema=with_ema), config)
+    return TrainState.create(params, optimizer, with_ema=with_ema), static
 
 
 def model_of_state(state: TrainState, static):
@@ -72,6 +84,46 @@ def model_of_state(state: TrainState, static):
     if state.buffers is not None:
         return combine(combine(state.params, state.buffers), static)
     return combine(state.params, static)
+
+
+def ema_model(state: TrainState, static):
+    """Rebuild the model from the EMA parameters (eval/serving weights)."""
+    if state.ema_params is None:
+        raise ValueError("state has no EMA params: build it with "
+                         "init_train_state(..., with_ema=True) and a step "
+                         "factory with ema_decay set")
+    return model_of_state(state.replace(params=state.ema_params), static)
+
+
+def _ema_update(ema, params, decay):
+    """ema <- decay * ema + (1 - decay) * params, leaf-wise."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e + (1.0 - decay) * (p - e), ema, params)
+
+
+def _maybe_ema(state: TrainState, params, ema_decay):
+    if ema_decay is None:
+        return state.ema_params
+    if state.ema_params is None:
+        raise ValueError("ema_decay set but the state has no EMA slot: "
+                         "build it with init_train_state(..., "
+                         "with_ema=True)")
+    return _ema_update(state.ema_params, params, ema_decay)
+
+
+def reshape_for_accum(batch, accum_steps: int):
+    """Host/device reshape ``(B, ...) -> (accum_steps, B // accum_steps,
+    ...)`` for gradient accumulation. Shard the result with
+    ``shard_batch(mesh, batch, accum=True)`` (microbatch dim sharded) so no
+    resharding happens inside the step."""
+    def r(x):
+        b = x.shape[0]
+        if b % accum_steps:
+            raise ValueError(f"batch {b} not divisible by accum_steps "
+                             f"{accum_steps}")
+        return x.reshape((accum_steps, b // accum_steps) + x.shape[1:])
+
+    return jax.tree_util.tree_map(r, batch)
 
 
 def apply_post_update(params, buffers, config, post_update):
@@ -86,16 +138,25 @@ def apply_post_update(params, buffers, config, post_update):
     return params, buffers
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with its leading axis sharded over ``data``."""
+def shard_batch(mesh: Mesh, batch, accum: bool = False):
+    """Device-put a host batch with its batch axis sharded over ``data``.
+
+    ``accum=True``: the batch is microbatched ``(accum_steps, micro, ...)``
+    (see :func:`reshape_for_accum`) and the *micro* dim (1) is sharded, so
+    each device scans over its local microbatch slices with no collective
+    resharding."""
+    dim = 1 if accum else 0
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch)
+        lambda x: jax.device_put(x, data_sharding(mesh, x.ndim, dim=dim)),
+        batch)
 
 
 def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
                           loss_fn: Optional[Callable] = None,
                           donate: bool = False, state_shardings=None,
-                          with_key: bool = False, post_update=None):
+                          with_key: bool = False, post_update=None,
+                          accum_steps: int = 1,
+                          ema_decay: Optional[float] = None):
     """Build a jitted data-parallel MLE step.
 
     ``loss_fn(model, batch) -> scalar`` defaults to ``model.forward_kld(x)``
@@ -114,6 +175,18 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
     ``TrainState`` (see ``parallel.tp.param_shardings``) — enables
     tensor-parallel / FSDP-style parameter layouts on top of the
     data-parallel batch; the SPMD partitioner inserts the collectives.
+
+    ``accum_steps > 1``: gradient accumulation (microbatching) — the batch
+    must arrive pre-shaped ``(accum_steps, micro, ...)`` (use
+    :func:`reshape_for_accum`, and ``shard_batch(mesh, b, accum=True)`` so
+    the micro dim is the sharded one); a ``lax.scan`` accumulates the mean
+    loss/grads over microbatches before ONE optimizer update — peak
+    activation memory drops by ~accum_steps at identical semantics (the
+    loss is a batch mean, so the mean of equal-size microbatch grads is
+    exactly the full-batch grad).
+
+    ``ema_decay``: update ``state.ema_params`` (requires
+    ``init_train_state(..., with_ema=True)``) after each optimizer step.
     """
     if loss_fn is None:
         def loss_fn(model, batch, key=None):
@@ -130,11 +203,32 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
             return user_loss(model, batch)
 
     def step(state: TrainState, batch, key=None):
-        def compute(p):
+        def compute(p, mb, k):
             model = model_of_state(state.replace(params=p), static)
-            return loss_fn(model, batch, key)
+            return loss_fn(model, mb, k)
 
-        loss, grads = jax.value_and_grad(compute)(state.params)
+        if accum_steps > 1:
+            def micro(carry, inp):
+                mb, k_idx = inp
+                k = (jax.random.fold_in(key, k_idx)
+                     if key is not None else None)
+                loss, grads = jax.value_and_grad(compute)(
+                    state.params, mb, k)
+                acc_loss, acc_grads = carry
+                return (acc_loss + loss,
+                        jax.tree_util.tree_map(jnp.add, acc_grads,
+                                               grads)), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                micro, (jnp.zeros((), jnp.float32), zero_grads),
+                (batch, jnp.arange(accum_steps)))
+            inv = 1.0 / accum_steps
+            loss = loss * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        else:
+            loss, grads = jax.value_and_grad(compute)(state.params, batch,
+                                                      key)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = _apply_updates(state.params, updates)
@@ -149,7 +243,9 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
             params, buffers = apply_post_update(params, buffers, static,
                                                 post_update)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1, buffers=buffers), loss
+                          step=state.step + 1, buffers=buffers,
+                          ema_params=_maybe_ema(state, params, ema_decay)
+                          ), loss
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
@@ -158,8 +254,11 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
         repl = replicated(mesh)
         state_sh = (state_shardings if state_shardings is not None
                     else repl)
-        in_sh = (state_sh, data_sharding(mesh, 1)) + (
-            (repl,) if with_key else ())
+        # non-accum: shard the leading batch dim (rank-1 spec applies to
+        # any-rank leaves); accum: shard the micro dim of (accum, micro,...)
+        batch_sh = (data_sharding(mesh, 2, dim=1) if accum_steps > 1
+                    else data_sharding(mesh, 1))
+        in_sh = (state_sh, batch_sh) + ((repl,) if with_key else ())
         jitted = jax.jit(step, in_shardings=in_sh,
                          out_shardings=(state_sh, repl), **donate_kw)
     if with_key:
@@ -176,7 +275,9 @@ def _apply_updates(params, updates):
 def make_reverse_kld_step(static, optimizer, mesh: Mesh,
                           num_samples: int, beta_schedule=None,
                           score_fn=True, axis: str = "data",
-                          donate: bool = False, post_update=None):
+                          donate: bool = False, post_update=None,
+                          accum_steps: int = 1,
+                          ema_decay: Optional[float] = None):
     """Build a jitted sample-parallel VI step with explicit collectives.
 
     Each device draws ``num_samples // n_devices`` samples from a key folded
@@ -189,13 +290,22 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
     reverse-mode differentiable here via the implicit-diff fixed point);
     requires ``init_train_state(..., carry_buffers=True)``.
 
+    ``accum_steps > 1``: the per-device sample batch is drawn over
+    ``accum_steps`` sequential microdraws of ``num_samples / (n_devices *
+    accum_steps)`` samples each (distinct folded keys), with loss/grads
+    averaged before the single optimizer update — same total sample count
+    per step at ~1/accum_steps the activation memory.
+
+    ``ema_decay``: update ``state.ema_params`` (requires
+    ``init_train_state(..., with_ema=True)``) after each optimizer step.
+
     Returns ``step(state, key) -> (state, loss)``.
     """
     n_dev = mesh.shape[axis]
-    if num_samples % n_dev != 0:
+    if num_samples % (n_dev * accum_steps) != 0:
         raise ValueError(f"num_samples {num_samples} must divide over "
-                         f"{n_dev} devices")
-    local_samples = num_samples // n_dev
+                         f"{n_dev} devices x {accum_steps} accum steps")
+    local_samples = num_samples // (n_dev * accum_steps)
     if beta_schedule is None:
         beta_schedule = lambda step: 1.0
 
@@ -208,13 +318,33 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
         idx = jax.lax.axis_index(axis)
         local_key = jax.random.fold_in(key, idx)
 
-        def compute(p):
+        def compute(p, k):
             model = combine(p, static) if buffers is None \
                 else combine(combine(p, buffers), static)
-            return model.reverse_kld(local_key, num_samples=local_samples,
+            return model.reverse_kld(k, num_samples=local_samples,
                                      beta=beta, score_fn=score_fn)
 
-        loss, grads = jax.value_and_grad(compute)(params)
+        if accum_steps > 1:
+            def micro(carry, k_idx):
+                loss, grads = jax.value_and_grad(compute)(
+                    params, jax.random.fold_in(local_key, k_idx))
+                acc_loss, acc_grads = carry
+                return (acc_loss + loss,
+                        jax.tree_util.tree_map(jnp.add, acc_grads,
+                                               grads)), None
+
+            # Seed the carry with microdraw 0 (not replicated zeros, which
+            # would trip the shard_map vma checker: the draws are
+            # device-varying) and scan the remaining accum_steps - 1.
+            carry0 = jax.value_and_grad(compute)(
+                params, jax.random.fold_in(local_key, 0))
+            (loss, grads), _ = jax.lax.scan(
+                micro, carry0, jnp.arange(1, accum_steps))
+            inv = 1.0 / accum_steps
+            loss = loss * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        else:
+            loss, grads = jax.value_and_grad(compute)(params, local_key)
         loss = jax.lax.pmean(loss, axis)
         grads = jax.lax.pmean(grads, axis)
         return loss, grads
@@ -236,7 +366,9 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
             params, buffers = apply_post_update(params, buffers, static,
                                                 post_update)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1, buffers=buffers), loss
+                          step=state.step + 1, buffers=buffers,
+                          ema_params=_maybe_ema(state, params, ema_decay)
+                          ), loss
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     repl = replicated(mesh)

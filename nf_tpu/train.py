@@ -126,7 +126,8 @@ def train_image(cfg: TrainConfig):
 
     opt = (optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
            if cfg.weight_decay else optax.adam(cfg.lr))
-    state, static = init_train_state(model, opt)
+    use_ema = cfg.ema_decay > 0
+    state, static = init_train_state(model, opt, with_ema=use_ema)
 
     ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir \
         else None
@@ -138,14 +139,17 @@ def train_image(cfg: TrainConfig):
             print(f"resumed from step {start_step}")
     logger = MetricLogger(cfg.log_path) if cfg.log_path else None
 
-    step_fn = make_forward_kld_step(static, opt, mesh=mesh)
+    step_fn = make_forward_kld_step(
+        static, opt, mesh=mesh, accum_steps=cfg.accum_steps,
+        ema_decay=cfg.ema_decay if use_ema else None)
 
-    from .parallel.train import model_of_state
+    from .parallel.train import ema_model, model_of_state, reshape_for_accum
 
-    def eval_bpd(state):
+    def eval_bpd(state, use_ema_params=False):
         if not len(x_test):
             return float("nan")
-        m = model_of_state(state, static)
+        m = (ema_model(state, static) if use_ema_params
+             else model_of_state(state, static))
         xt = scale(jnp.asarray(x_test))
         xt = jitter(xt, jax.random.PRNGKey(cfg.seed + 2))
         b = bits_per_dim(m, xt, jnp.asarray(y_test) if cfg.class_cond
@@ -155,18 +159,28 @@ def train_image(cfg: TrainConfig):
     t0 = time.time()
     for it in range(start_step, cfg.iters):
         batch = host_batch()
-        state, loss = step_fn(
-            state, shard_batch(mesh, batch if cfg.class_cond
-                               else batch[0]))
+        batch = batch if cfg.class_cond else batch[0]
+        if cfg.accum_steps > 1:
+            batch = shard_batch(mesh, reshape_for_accum(
+                batch, cfg.accum_steps), accum=True)
+        else:
+            batch = shard_batch(mesh, batch)
+        state, loss = step_fn(state, batch)
         if it % cfg.log_every == 0 or it == cfg.iters - 1:
             loss_f = float(loss)
             rate = (it - start_step + 1) / (time.time() - t0)
             bpd = eval_bpd(state)
-            print(f"step {it:7d}  loss {loss_f:+.1f}  bits/dim {bpd:.4f}  "
-                  f"{rate:.1f} it/s", flush=True)
+            ema_txt = ""
+            extra = {}
+            if use_ema:
+                bpd_ema = eval_bpd(state, use_ema_params=True)
+                ema_txt = f"  ema bits/dim {bpd_ema:.4f}"
+                extra["bits_per_dim_ema"] = bpd_ema
+            print(f"step {it:7d}  loss {loss_f:+.1f}  bits/dim {bpd:.4f}"
+                  f"{ema_txt}  {rate:.1f} it/s", flush=True)
             if logger is not None:
                 logger.log(it, loss=loss_f, bits_per_dim=bpd,
-                           it_per_s=rate)
+                           it_per_s=rate, **extra)
         if ckpt is not None and (it + 1) % cfg.checkpoint_every == 0:
             ckpt.save(it + 1, state, wait=False)
     if ckpt is not None:
@@ -204,8 +218,10 @@ def main(argv=None):
     opt = (optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
            if cfg.weight_decay else optax.adam(cfg.lr))
     carry_buffers = cfg.model == "residual"
+    use_ema = cfg.ema_decay > 0
     state, static = init_train_state(model, opt,
-                                     carry_buffers=carry_buffers)
+                                     carry_buffers=carry_buffers,
+                                     with_ema=use_ema)
 
     ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir \
         else None
@@ -229,24 +245,31 @@ def main(argv=None):
         anneal = cfg.beta_anneal_iters
         beta = ((lambda s: jnp.minimum(1.0, 0.01 + s / anneal)) if anneal
                 else (lambda s: 1.0))
-        step_fn = make_reverse_kld_step(static, opt, mesh,
-                                        num_samples=cfg.num_samples,
-                                        beta_schedule=beta,
-                                        post_update=post)
+        step_fn = make_reverse_kld_step(
+            static, opt, mesh, num_samples=cfg.num_samples,
+            beta_schedule=beta, post_update=post,
+            accum_steps=cfg.accum_steps,
+            ema_decay=cfg.ema_decay if use_ema else None)
 
         def run_step(state, key):
             return step_fn(state, key)
     else:
-        from .parallel.train import model_of_state
+        from .parallel.train import model_of_state, reshape_for_accum
 
         target = model_of_state(state, static).p
-        mle_step = make_forward_kld_step(static, opt, mesh=mesh,
-                                         with_key=is_residual,
-                                         post_update=post)
+        mle_step = make_forward_kld_step(
+            static, opt, mesh=mesh, with_key=is_residual,
+            post_update=post, accum_steps=cfg.accum_steps,
+            ema_decay=cfg.ema_decay if use_ema else None)
 
         def run_step(state, key):
             k1, k2 = jax.random.split(key)
-            x = shard_batch(mesh, target.sample(k1, cfg.batch_size))
+            x = target.sample(k1, cfg.batch_size)
+            if cfg.accum_steps > 1:
+                x = shard_batch(mesh, reshape_for_accum(
+                    x, cfg.accum_steps), accum=True)
+            else:
+                x = shard_batch(mesh, x)
             if is_residual:
                 return mle_step(state, x, k2)
             return mle_step(state, x)

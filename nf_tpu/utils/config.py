@@ -34,6 +34,8 @@ class TrainConfig:
     lr: float = 1e-3
     weight_decay: float = 0.0
     beta_anneal_iters: int = 0
+    accum_steps: int = 1  # gradient accumulation (microbatching)
+    ema_decay: float = 0.0  # >0 tracks an EMA of the params (eval weights)
     seed: int = 0
     bf16: bool = False
     checkpoint_dir: Optional[str] = None
