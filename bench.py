@@ -146,7 +146,36 @@ def bench_torch_reference():
         sys.path.remove(ref_path)
 
 
+def _backend_reachable(timeout_s=180):
+    """Probe device discovery in a daemon thread: if the axon relay tunnel
+    is down, jax.devices() blocks in connect-retry forever and would hang
+    the driver — better to emit a diagnostic line and exit."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        ok.append(len(jax.devices()))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "realnvp_k16_coupling_fwd_inv_logdet",
+            "value": 0.0,
+            "unit": "samples/s",
+            "vs_baseline": 0.0,
+            "error": "accelerator backend unreachable (relay tunnel down); "
+                     "see benchmarks/results.json for the last good run",
+        }))
+        return
     sps, _ = bench_jax()
     baseline = bench_torch_reference()
     vs = sps / baseline if baseline else 0.0
