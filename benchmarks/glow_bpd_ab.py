@@ -124,23 +124,31 @@ def cmd_torch(args):
     d = load_data()
     x_tr, y_tr = d["x_train"], d["y_train"]
 
-    # glow.ipynb cell 2, verbatim recipe
-    q0, merges, flows = [], [], []
-    for i in range(L):
-        flows_ = [nf.flows.GlowBlock(3 * 2 ** (L + 1 - i), HIDDEN,
-                                     split_mode="channel", scale=True)
-                  for _ in range(K)]
-        flows_ += [nf.flows.Squeeze()]
-        flows += [flows_]
-        if i > 0:
-            merges += [nf.flows.Merge()]
-            latent_shape = (3 * 2 ** (L - i), 32 // 2 ** (L - i),
-                            32 // 2 ** (L - i))
-        else:
-            latent_shape = (3 * 2 ** (L + 1), 32 // 2 ** L, 32 // 2 ** L)
-        q0 += [nf.distributions.ClassCondDiagGaussian(latent_shape,
-                                                      NUM_CLASSES)]
-    model = nf.MultiscaleFlow(q0, flows, merges)
+    # Same architecture as reference examples/glow.ipynb cell 2 (L levels
+    # of K GlowBlocks + Squeeze, class-conditional per-level bases), built
+    # through the reference package's public API. Channel arithmetic: level
+    # i (0 = innermost) sees 3 * 2^(L+1-i) channels post-squeeze; its
+    # latent keeps half of them (channel split), except the deepest level
+    # which keeps all; spatial side halves per remaining level.
+    def level_channels(i):
+        return 3 * 2 ** (L + 1 - i)
+
+    def latent_shape(i):
+        side = 32 // 2 ** (L - i)
+        ch = level_channels(i) if i == 0 else level_channels(i) // 2
+        return (ch, side, side)
+
+    per_level = [
+        [nf.flows.GlowBlock(level_channels(i), HIDDEN,
+                            split_mode="channel", scale=True)
+         for _ in range(K)] + [nf.flows.Squeeze()]
+        for i in range(L)
+    ]
+    bases = [nf.distributions.ClassCondDiagGaussian(latent_shape(i),
+                                                    NUM_CLASSES)
+             for i in range(L)]
+    model = nf.MultiscaleFlow(bases, per_level,
+                              [nf.flows.Merge() for _ in range(L - 1)])
     optimizer = torch.optim.Adamax(model.parameters(), lr=LR,
                                    weight_decay=WD)
 

@@ -108,14 +108,21 @@ def main():
     opt = optax.adam(1e-3)
 
     if args.process_id is not None:
-        # multi-process: every process must own addressable devices in the
-        # mesh, so only the full global mesh is measured
-        counts = [len(devices)]
+        # multi-process: every process must own addressable devices in any
+        # mesh it runs, so the sub-mesh ladder is replaced by two points —
+        # a LOCAL single-device baseline (each process over its own first
+        # device; no cross-process collectives) and the full global mesh.
+        # Their ratio gives a real parallel efficiency for the collective
+        # layout instead of a hardcoded 1.0.
+        counts = [1, len(devices)]
     else:
         counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     results = {}
     for n in counts:
-        mesh = make_mesh(("data",), devices=devices[:n])
+        local = jax.local_devices()
+        mesh_devices = (local[:1] if (args.process_id is not None and n == 1)
+                        else devices[:n])
+        mesh = make_mesh(("data",), devices=mesh_devices)
         state, static = init_train_state(model, opt)
         step = make_reverse_kld_step(static, opt, mesh,
                                      num_samples=args.num_samples)

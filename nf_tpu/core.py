@@ -241,9 +241,15 @@ class ClassCondFlow(Module):
     def forward_kld(self, x, y, key=None):
         return -jnp.mean(self.log_prob(x, y, key=key))
 
-    def sample(self, key, num_samples=1, y=None):
+    def sample(self, key, num_samples=1, y=None, temperature=None):
+        """``temperature`` rescales the class-conditional base via its
+        ``with_temperature`` (GlowBase/ClassCondDiagGaussian API) — the
+        reference's ClassCondFlow has no temperature path; added for
+        serving parity with MultiscaleFlow.sample."""
+        q0 = (self.q0.with_temperature(temperature)
+              if temperature is not None else self.q0)
         keys = _split_keys(key, len(self.flows) + 1)
-        z, log_q = self.q0.forward(keys[0], num_samples, y=y)
+        z, log_q = q0.forward(keys[0], num_samples, y=y)
         for flow, k in zip(self.flows, keys[1:]):
             z, log_det = flow.forward(z, key=k)
             log_q = log_q - log_det

@@ -253,10 +253,12 @@ class iResBlock(Module):
             # Initial accumulator derived from x so it inherits x's varying
             # mesh axes: a bare jnp.zeros is replicated and trips the
             # shard_map vma checker (carry-in/out type mismatch) when this
-            # runs inside a sample-sharded region.
+            # runs inside a sample-sharded region. Flatten first: x can be
+            # (B, D) or conv-shaped (B, C, H, W) and the accumulator must
+            # be (B,) either way.
+            acc0 = jnp.zeros_like(x.reshape(x.shape[0], -1)[:, 0])
             (_, logdetgrad), _ = jax.lax.scan(
-                body, (vareps, jnp.zeros_like(x[:, 0])),
-                jnp.arange(cap))
+                body, (vareps, acc0), jnp.arange(cap))
         return g, logdetgrad
 
     def _exact_trace_series(self, x):

@@ -86,15 +86,25 @@ def train_image(cfg: TrainConfig):
     print(f"mesh: {mesh.shape} on {jax.default_backend()}")
 
     if cfg.data:
-        loaded = load_npz_images(cfg.data)
+        # Raw uint8 -> /255 here; Scale(255/256) + Jitter are applied
+        # uniformly in host_batch/eval below. (load_npz_images' default
+        # to_unit_interval already bakes the /256 Scale in — using it here
+        # would double-apply it.)
+        loaded = load_npz_images(cfg.data, to_unit_interval=False)
         x_all, y_all = loaded if isinstance(loaded, tuple) \
             else (loaded, np.zeros(len(loaded), np.int32))
-        x_all = np.asarray(x_all)  # [0,1] float from uint8/256
+        x_all = np.asarray(x_all)
+        if x_all.dtype == np.uint8:
+            x_all = x_all.astype(np.float32) / 255.0
     else:
         x_u8, y_all = procedural_image_classes(cfg.seed, 2048,
                                                size=cfg.image_size)
         x_all = x_u8.astype(np.float32) / 255.0
     n, input_shape = len(x_all), x_all.shape[1:]
+    # seeded shuffle before the split: npz files are often class-sorted,
+    # which would make the held-out tail a single class
+    perm = np.random.default_rng(cfg.seed + 3).permutation(n)
+    x_all, y_all = x_all[perm], np.asarray(y_all)[perm]
     n_train = max(int(n * 0.9), 1)
     x_train, y_train = x_all[:n_train], y_all[:n_train]
     x_test, y_test = x_all[n_train:], y_all[n_train:]

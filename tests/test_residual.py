@@ -191,3 +191,24 @@ def test_set_exact_logdet_matches_estimator_in_expectation():
 
     _, ld_est = model.inverse_and_log_det(x, key=key)
     assert abs(float(jnp.mean(ld_est) - jnp.mean(ld_exact))) < 0.15
+
+
+def test_conv_iresblock_basic_estimator_grad():
+    """Regression: the basic (non-Neumann) estimator's scan accumulator
+    must be (B,) for conv-shaped inputs too (the vma fix derives it from x,
+    which is (B, C, H, W) here, not (B, D))."""
+    net = LipschitzCNN.create(KEY, [2, 8, 2], kernel_size=[3, 1],
+                              spatial_dims=(4, 4))
+    flow = nff.Residual.create(net, n_power_series=4)
+    # neumann_grad=False -> the fully differentiable basic series
+    flow = flow.replace(iresblock=flow.iresblock.replace(neumann_grad=False))
+    x = jax.random.normal(KEY, (3, 2, 4, 4))
+
+    def loss(f):
+        z, ld = f.inverse(x, key=KEY)
+        return jnp.sum(ld)
+
+    val, grads = jax.value_and_grad(loss)(flow)
+    assert np.isfinite(float(val))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)

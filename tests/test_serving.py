@@ -156,3 +156,24 @@ def test_bucketed_class_cond():
     got = np.asarray(served(x0[:3], y0[:3]))
     want = np.asarray(model.log_prob(x0[:3], y0[:3]))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_class_cond_flow_sampler_temperature():
+    """ClassCondFlow (non-multiscale) + temperature: the base is annealed
+    via with_temperature; previously this raised TypeError at trace time."""
+    import nf_tpu
+    import nf_tpu.flows as nff
+    from nf_tpu.distributions import ClassCondDiagGaussian
+    from nf_tpu.serving import compile_sampler
+
+    q0 = ClassCondDiagGaussian.create(2, num_classes=3)
+    model = nf_tpu.ClassCondFlow.create(q0, [nff.ActNorm.create(2)])
+    served = compile_sampler(model, num_samples=6, class_cond=True,
+                             temperature=0.5)
+    y = jnp.zeros((6,), jnp.int32)
+    z, log_q = served(jax.random.PRNGKey(0), y)
+    assert z.shape == (6, 2) and np.isfinite(np.asarray(log_q)).all()
+    # temperature shrinks the base scale: colder samples on average
+    served_hot = compile_sampler(model, num_samples=6, class_cond=True)
+    z_hot, _ = served_hot(jax.random.PRNGKey(0), y)
+    assert float(jnp.std(z)) < float(jnp.std(z_hot)) + 1e-6
