@@ -83,6 +83,15 @@ def main():
     print("rebind without recompile:",
           bool(jnp.any(z2 != z)), "(outputs changed)")
 
+    # --- serialized artifact: export, reload, serve without model code ---
+    from nf_tpu.serving import export_log_prob, load_exported
+
+    blob = export_log_prob(model, (args.serve_batch, 2))
+    reloaded = load_exported(blob)
+    err_art = float(jnp.max(jnp.abs(reloaded(z) - lp)))
+    print(f"StableHLO artifact: {len(blob)/1e3:.0f} kB, reload max err "
+          f"{err_art:.2e} vs the in-process executable")
+
     # throughput of the compiled sampler (amortized over many calls).
     # Sync via a host scalar fetch: on the axon relay block_until_ready can
     # be a no-op for never-fetched buffers (CLAUDE.md), and each call gets

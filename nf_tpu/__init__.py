@@ -8,6 +8,7 @@ pytree programs that jit-compile and shard over TPU meshes.
 """
 
 from . import (
+    compat,
     data,
     distributions,
     flows,

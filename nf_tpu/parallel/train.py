@@ -101,6 +101,28 @@ def _ema_update(ema, params, decay):
         lambda e, p: e + (1.0 - decay) * (p - e), ema, params)
 
 
+def _all_finite(loss, grads):
+    """Scalar bool: loss and every gradient leaf are finite."""
+    ok = jnp.isfinite(loss)
+    for g in jax.tree_util.tree_leaves(grads):
+        ok = ok & jnp.all(jnp.isfinite(g))
+    return ok
+
+
+def _guard_nonfinite(ok, new_state: TrainState, old_state: TrainState):
+    """Select ``new_state`` where ``ok`` else the pre-update state.
+
+    The step counter still advances so schedules keyed on it stay monotone.
+    In-jit replacement for the reference notebooks' host-side
+    ``if ~(torch.isnan(loss) | torch.isinf(loss)): loss.backward()`` guard
+    (ref examples/glow.ipynb training cell): under jit we always compute,
+    then discard the update when loss or grads are non-finite.
+    """
+    skipped = old_state.replace(step=old_state.step + 1)
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), new_state, skipped)
+
+
 def _maybe_ema(state: TrainState, params, ema_decay):
     if ema_decay is None:
         return state.ema_params
@@ -156,7 +178,8 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
                           donate: bool = False, state_shardings=None,
                           with_key: bool = False, post_update=None,
                           accum_steps: int = 1,
-                          ema_decay: Optional[float] = None):
+                          ema_decay: Optional[float] = None,
+                          skip_nonfinite: bool = False):
     """Build a jitted data-parallel MLE step.
 
     ``loss_fn(model, batch) -> scalar`` defaults to ``model.forward_kld(x)``
@@ -187,6 +210,12 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
 
     ``ema_decay``: update ``state.ema_params`` (requires
     ``init_train_state(..., with_ema=True)``) after each optimizer step.
+
+    ``skip_nonfinite=True``: when the loss or any gradient leaf is
+    non-finite, the whole update (params, opt state, buffers, EMA) is
+    discarded and only the step counter advances — the jit-compatible form
+    of the reference notebooks' NaN guard before ``backward()``.
+    The (non-finite) loss is still returned for host-side logging.
     """
     if loss_fn is None:
         def loss_fn(model, batch, key=None):
@@ -242,10 +271,14 @@ def make_forward_kld_step(static, optimizer, mesh: Optional[Mesh] = None,
                     "static closure.")
             params, buffers = apply_post_update(params, buffers, static,
                                                 post_update)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1, buffers=buffers,
-                          ema_params=_maybe_ema(state, params, ema_decay)
-                          ), loss
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, buffers=buffers,
+                               ema_params=_maybe_ema(state, params,
+                                                     ema_decay))
+        if skip_nonfinite:
+            new_state = _guard_nonfinite(_all_finite(loss, grads),
+                                         new_state, state)
+        return new_state, loss
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
@@ -277,7 +310,8 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
                           score_fn=True, axis: str = "data",
                           donate: bool = False, post_update=None,
                           accum_steps: int = 1,
-                          ema_decay: Optional[float] = None):
+                          ema_decay: Optional[float] = None,
+                          skip_nonfinite: bool = False):
     """Build a jitted sample-parallel VI step with explicit collectives.
 
     Each device draws ``num_samples // n_devices`` samples from a key folded
@@ -298,6 +332,11 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
 
     ``ema_decay``: update ``state.ema_params`` (requires
     ``init_train_state(..., with_ema=True)``) after each optimizer step.
+
+    ``skip_nonfinite=True``: discard the update (keep the pre-step params /
+    opt state / buffers / EMA, advance only the step counter) when the loss
+    or any gradient leaf is non-finite — reverse-KLD VI is the loss family
+    where the reference's notebooks apply exactly this guard.
 
     Returns ``step(state, key) -> (state, loss)``.
     """
@@ -365,10 +404,14 @@ def make_reverse_kld_step(static, optimizer, mesh: Mesh,
                     "static closure.")
             params, buffers = apply_post_update(params, buffers, static,
                                                 post_update)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1, buffers=buffers,
-                          ema_params=_maybe_ema(state, params, ema_decay)
-                          ), loss
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, buffers=buffers,
+                               ema_params=_maybe_ema(state, params,
+                                                     ema_decay))
+        if skip_nonfinite:
+            new_state = _guard_nonfinite(_all_finite(loss, grads),
+                                         new_state, state)
+        return new_state, loss
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     repl = replicated(mesh)

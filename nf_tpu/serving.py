@@ -21,6 +21,11 @@ overhead beyond the runtime call, exposes XLA's ``cost_analysis`` (FLOPs /
 bytes accessed — the basis for roofline accounting), and can be refreshed
 with new parameters (``with_model``) without recompiling, as long as the
 pytree structure matches.
+
+For cross-process deployment, :func:`export_sampler` /
+:func:`export_log_prob` serialize the same computations to portable
+StableHLO artifacts (``jax.export``) that :func:`load_exported` reloads in
+a serving process with no model code present.
 """
 
 from __future__ import annotations
@@ -77,6 +82,54 @@ def _key_spec(typed_key: bool):
     return jax.eval_shape(mk)
 
 
+def _sampler_graph(model, num_samples: int, temperature, context_shape,
+                   class_cond: bool, dtype, typed_key: bool):
+    """Build the (fn(params, *args), params, arg_specs) triple for
+    ``sample`` — shared by AOT compilation and ``jax.export``."""
+    params, static = partition(model)
+    key_spec = _key_spec(typed_key)
+
+    if class_cond:
+        if context_shape is not None:
+            raise ValueError("class_cond and context_shape are exclusive: "
+                             "labels condition the base, context threads "
+                             "through the layers")
+        y_spec = jax.ShapeDtypeStruct((num_samples,), jnp.int32)
+        if temperature is not None:
+            def fn(p, key, y):
+                m = combine(p, static)
+                return m.sample(key, num_samples, y=y,
+                                temperature=temperature)
+        else:
+            def fn(p, key, y):
+                return combine(p, static).sample(key, num_samples, y=y)
+        return fn, params, (key_spec, y_spec)
+
+    if context_shape is not None:
+        if temperature is not None:
+            raise ValueError(
+                "temperature is not supported together with context_shape: "
+                "conditional containers sample at temperature 1; build the "
+                "sampler without temperature or rescale the base instead")
+
+        def fn(p, key, context):
+            m = combine(p, static)
+            return m.sample(key, num_samples, context=context)
+
+        ctx_spec = jax.ShapeDtypeStruct(context_shape, dtype)
+        return fn, params, (key_spec, ctx_spec)
+
+    if temperature is not None:
+        def fn(p, key):
+            m = combine(p, static)
+            return m.sample(key, num_samples, temperature=temperature)
+    else:
+        def fn(p, key):
+            m = combine(p, static)
+            return m.sample(key, num_samples)
+    return fn, params, (key_spec,)
+
+
 def compile_sampler(model, num_samples: int,
                     temperature: Optional[float] = None,
                     context_shape: Optional[Tuple[int, ...]] = None,
@@ -95,58 +148,16 @@ def compile_sampler(model, num_samples: int,
     ``temperature``. ``typed_key`` selects which key flavor the executable
     accepts (see :func:`_key_spec`).
     """
-    params, static = partition(model)
-    key_spec = _key_spec(typed_key)
-
-    if class_cond:
-        if context_shape is not None:
-            raise ValueError("class_cond and context_shape are exclusive: "
-                             "labels condition the base, context threads "
-                             "through the layers")
-        y_spec = jax.ShapeDtypeStruct((num_samples,), jnp.int32)
-        if temperature is not None:
-            def fn(p, key, y):
-                m = combine(p, static)
-                return m.sample(key, num_samples, y=y,
-                                temperature=temperature)
-        else:
-            def fn(p, key, y):
-                return combine(p, static).sample(key, num_samples, y=y)
-        return CompiledFn(_aot(fn, params, key_spec, y_spec), params)
-
-    if context_shape is not None:
-        if temperature is not None:
-            raise ValueError(
-                "temperature is not supported together with context_shape: "
-                "conditional containers sample at temperature 1; build the "
-                "sampler without temperature or rescale the base instead")
-
-        def fn(p, key, context):
-            m = combine(p, static)
-            return m.sample(key, num_samples, context=context)
-
-        ctx_spec = jax.ShapeDtypeStruct(context_shape, dtype)
-        return CompiledFn(_aot(fn, params, key_spec, ctx_spec), params)
-
-    if temperature is not None:
-        def fn(p, key):
-            m = combine(p, static)
-            return m.sample(key, num_samples, temperature=temperature)
-    else:
-        def fn(p, key):
-            m = combine(p, static)
-            return m.sample(key, num_samples)
-    return CompiledFn(_aot(fn, params, key_spec), params)
+    fn, params, specs = _sampler_graph(model, num_samples, temperature,
+                                       context_shape, class_cond, dtype,
+                                       typed_key)
+    return CompiledFn(_aot(fn, params, *specs), params)
 
 
-def compile_log_prob(model, batch_shape: Tuple[int, ...],
-                     context_shape: Optional[Tuple[int, ...]] = None,
-                     class_cond: bool = False,
-                     dtype=jnp.float32) -> CompiledFn:
-    """AOT-compile ``log_prob`` at a fixed batch shape:
-    ``CompiledFn(x[, context | y]) -> log_p``. ``class_cond=True`` takes an
-    int32 label vector ``y`` alongside ``x`` (``ClassCondFlow.log_prob`` /
-    class-conditional ``MultiscaleFlow.log_prob``)."""
+def _log_prob_graph(model, batch_shape: Tuple[int, ...], context_shape,
+                    class_cond: bool, dtype):
+    """Build the (fn(params, *args), params, arg_specs) triple for
+    ``log_prob`` — shared by AOT compilation and ``jax.export``."""
     params, static = partition(model)
     x_spec = jax.ShapeDtypeStruct(batch_shape, dtype)
     if class_cond:
@@ -157,17 +168,30 @@ def compile_log_prob(model, batch_shape: Tuple[int, ...],
         def fn(p, x, y):
             return combine(p, static).log_prob(x, y)
 
-        return CompiledFn(_aot(fn, params, x_spec, y_spec), params)
+        return fn, params, (x_spec, y_spec)
     if context_shape is not None:
         def fn(p, x, context):
             return combine(p, static).log_prob(x, context=context)
 
         ctx_spec = jax.ShapeDtypeStruct(context_shape, dtype)
-        return CompiledFn(_aot(fn, params, x_spec, ctx_spec), params)
+        return fn, params, (x_spec, ctx_spec)
 
     def fn(p, x):
         return combine(p, static).log_prob(x)
-    return CompiledFn(_aot(fn, params, x_spec), params)
+    return fn, params, (x_spec,)
+
+
+def compile_log_prob(model, batch_shape: Tuple[int, ...],
+                     context_shape: Optional[Tuple[int, ...]] = None,
+                     class_cond: bool = False,
+                     dtype=jnp.float32) -> CompiledFn:
+    """AOT-compile ``log_prob`` at a fixed batch shape:
+    ``CompiledFn(x[, context | y]) -> log_p``. ``class_cond=True`` takes an
+    int32 label vector ``y`` alongside ``x`` (``ClassCondFlow.log_prob`` /
+    class-conditional ``MultiscaleFlow.log_prob``)."""
+    fn, params, specs = _log_prob_graph(model, batch_shape, context_shape,
+                                        class_cond, dtype)
+    return CompiledFn(_aot(fn, params, *specs), params)
 
 
 class BucketedFn:
@@ -236,3 +260,109 @@ def compile_log_prob_buckets(model, max_batch: int,
             model, (b,) + tuple(feature_shape), context_shape=ctx,
             class_cond=class_cond, dtype=dtype))
     return BucketedFn(fns, buckets)
+
+
+# ---------------------------------------------------------------------------
+# Serialized artifacts (jax.export / StableHLO)
+#
+# The AOT executables above live only in the building process. For
+# deployment, `export_sampler` / `export_log_prob` serialize the traced
+# computation to a portable StableHLO artifact (bytes) that a serving
+# process reloads with `load_exported` — WITHOUT the model-building code,
+# nf_tpu, or even the same accelerator platform present at export time
+# (pass `platforms=("cpu", "tpu")` to target both). The reference has no
+# equivalent: its deployment unit is a pickled torch module requiring the
+# full class code at load.
+#
+# `freeze_params=True` (default) embeds the weights as constants — a fully
+# self-contained artifact taking only (key[, y|context]) / (x[, ...]).
+# `freeze_params=False` keeps the parameters as a runtime argument so a
+# serving fleet can hot-swap refreshed weights into one artifact; they
+# cross the artifact boundary as a flat leaf list — call with
+# `fn(jax.tree_util.tree_leaves(params), ...)`.
+# ---------------------------------------------------------------------------
+
+
+def _export_graph(fn, params, specs, freeze_params: bool, platforms):
+    from jax import export as jax_export
+
+    kw = {"platforms": tuple(platforms)} if platforms is not None else {}
+    if freeze_params:
+        wrapped = lambda *args: fn(params, *args)
+        exp = jax_export.export(jax.jit(wrapped), **kw)(*specs)
+    else:
+        # Module pytree nodes aren't registered for jax.export
+        # serialization; cross the boundary as a FLAT LIST of leaves (the
+        # caller rebuilds it with jax.tree_util.tree_leaves(params)).
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        leaf_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                      for a in leaves]
+
+        def flat_fn(flat, *args):
+            return fn(jax.tree_util.tree_unflatten(treedef, flat), *args)
+
+        exp = jax_export.export(jax.jit(flat_fn), **kw)(leaf_specs, *specs)
+    return bytes(exp.serialize())
+
+
+def export_sampler(model, num_samples: int,
+                   temperature: Optional[float] = None,
+                   context_shape: Optional[Tuple[int, ...]] = None,
+                   class_cond: bool = False, dtype=jnp.float32,
+                   typed_key: bool = False, freeze_params: bool = True,
+                   platforms: Optional[Tuple[str, ...]] = None) -> bytes:
+    """Serialize ``sample`` to a StableHLO artifact (same argument surface
+    as :func:`compile_sampler`); reload with :func:`load_exported`."""
+    fn, params, specs = _sampler_graph(model, num_samples, temperature,
+                                       context_shape, class_cond, dtype,
+                                       typed_key)
+    return _export_graph(fn, params, specs, freeze_params, platforms)
+
+
+def export_log_prob(model, batch_shape: Tuple[int, ...],
+                    context_shape: Optional[Tuple[int, ...]] = None,
+                    class_cond: bool = False, dtype=jnp.float32,
+                    freeze_params: bool = True,
+                    platforms: Optional[Tuple[str, ...]] = None) -> bytes:
+    """Serialize ``log_prob`` to a StableHLO artifact (same argument
+    surface as :func:`compile_log_prob`)."""
+    fn, params, specs = _log_prob_graph(model, batch_shape, context_shape,
+                                        class_cond, dtype)
+    return _export_graph(fn, params, specs, freeze_params, platforms)
+
+
+class ExportedFn:
+    """A reloaded StableHLO artifact, callable like the original function.
+
+    ``__call__`` jit-compiles the embedded computation for the current
+    backend on first use (cached thereafter). For ``freeze_params=False``
+    artifacts, prepend the flat parameter leaf list
+    (``jax.tree_util.tree_leaves(params)`` — same order as at export) to
+    the call arguments.
+    """
+
+    def __init__(self, exported):
+        self._exported = exported
+        self._jitted = jax.jit(exported.call)
+
+    @property
+    def platforms(self) -> Tuple[str, ...]:
+        return tuple(self._exported.platforms)
+
+    @property
+    def in_avals(self):
+        return self._exported.in_avals
+
+    def __call__(self, *args):
+        return self._jitted(*args)
+
+
+def load_exported(data) -> ExportedFn:
+    """Deserialize an artifact from :func:`export_sampler` /
+    :func:`export_log_prob` (``bytes`` or a file path)."""
+    from jax import export as jax_export
+
+    if not isinstance(data, (bytes, bytearray)):
+        with open(data, "rb") as f:
+            data = f.read()
+    return ExportedFn(jax_export.deserialize(bytearray(data)))

@@ -151,7 +151,8 @@ def train_image(cfg: TrainConfig):
 
     step_fn = make_forward_kld_step(
         static, opt, mesh=mesh, accum_steps=cfg.accum_steps,
-        ema_decay=cfg.ema_decay if use_ema else None)
+        ema_decay=cfg.ema_decay if use_ema else None,
+        skip_nonfinite=cfg.skip_nonfinite)
 
     from .parallel.train import ema_model, model_of_state, reshape_for_accum
 
@@ -259,7 +260,8 @@ def main(argv=None):
             static, opt, mesh, num_samples=cfg.num_samples,
             beta_schedule=beta, post_update=post,
             accum_steps=cfg.accum_steps,
-            ema_decay=cfg.ema_decay if use_ema else None)
+            ema_decay=cfg.ema_decay if use_ema else None,
+            skip_nonfinite=cfg.skip_nonfinite)
 
         def run_step(state, key):
             return step_fn(state, key)
@@ -270,7 +272,8 @@ def main(argv=None):
         mle_step = make_forward_kld_step(
             static, opt, mesh=mesh, with_key=is_residual,
             post_update=post, accum_steps=cfg.accum_steps,
-            ema_decay=cfg.ema_decay if use_ema else None)
+            ema_decay=cfg.ema_decay if use_ema else None,
+            skip_nonfinite=cfg.skip_nonfinite)
 
         def run_step(state, key):
             k1, k2 = jax.random.split(key)

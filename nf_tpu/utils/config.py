@@ -36,6 +36,7 @@ class TrainConfig:
     beta_anneal_iters: int = 0
     accum_steps: int = 1  # gradient accumulation (microbatching)
     ema_decay: float = 0.0  # >0 tracks an EMA of the params (eval weights)
+    skip_nonfinite: bool = False  # discard updates with NaN/inf loss/grads
     seed: int = 0
     bf16: bool = False
     checkpoint_dir: Optional[str] = None

@@ -1,0 +1,230 @@
+"""Checkpoint migration (nf_tpu.compat): load a reference torch
+``state_dict`` into the matching nf_tpu model and verify identical
+densities/outputs on the same inputs — the user-facing switch-over path.
+
+Skipped when the reference checkout is absent.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nf_tpu
+import nf_tpu.distributions as dist
+import nf_tpu.flows as nff
+from nf_tpu.compat import import_state_dict
+from nf_tpu.nets import MLP
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"),
+    reason="reference checkout not available")
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def nf_ref():
+    import sys
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import normflows as nf
+    return nf
+
+
+def _randomize(torch_model, seed=0):
+    """Give every parameter a non-trivial value (builders zero-init) and
+    mark data-dependent init as done, as in a trained checkpoint."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in torch_model.parameters():
+            p.copy_(0.3 * torch.randn(p.shape, generator=g))
+        for name, b in torch_model.named_buffers():
+            if name.endswith("data_dep_init_done"):
+                b.fill_(1.0)
+    return torch_model
+
+
+def _sd(torch_model):
+    return {k: v.numpy() for k, v in torch_model.state_dict().items()}
+
+
+def _build_ref_realnvp(nf_ref, K=4, hidden=16):
+    import torch
+
+    flows = []
+    for i in range(K):
+        b = torch.tensor([(j + i) % 2 for j in range(2)], dtype=torch.float32)
+        s = nf_ref.nets.MLP([2, hidden, 2], init_zeros=True)
+        t = nf_ref.nets.MLP([2, hidden, 2], init_zeros=True)
+        flows.append(nf_ref.flows.MaskedAffineFlow(b, t=t, s=s))
+        flows.append(nf_ref.flows.ActNorm(2))
+    q0 = nf_ref.distributions.DiagGaussian(2)
+    return nf_ref.NormalizingFlow(q0, flows)
+
+
+def _build_our_realnvp(K=4, hidden=16, scan=False):
+    keys = jax.random.split(KEY, 2 * K)
+    units = []
+    for i in range(K):
+        b = jnp.array([(j + i) % 2 for j in range(2)], jnp.float32)
+        s = MLP.create(keys[2 * i], [2, hidden, 2], init_zeros=True)
+        t = MLP.create(keys[2 * i + 1], [2, hidden, 2], init_zeros=True)
+        units.append(nff.MaskedAffineFlow.create(b, t=t, s=s))
+        units.append(nff.ActNorm.create(2))
+    if scan:
+        # mirror build_realnvp's scan grouping: 2 coupling+ActNorm pairs
+        # per structurally identical Composite unit
+        units = [nff.Composite(flows=tuple(units[4 * i:4 * i + 4]))
+                 for i in range(K // 2)]
+        units = [nff.Scanned.create(units)]
+    return nf_tpu.NormalizingFlow.create(
+        dist.DiagGaussian.create(2), units)
+
+
+@pytest.mark.parametrize("scan", [False, True])
+def test_realnvp_state_dict_roundtrip(nf_ref, scan):
+    """Unrolled reference checkpoint loads into both the layer-list and the
+    Scanned (lax.scan-stacked) variants with identical densities."""
+    import torch
+
+    ref = _randomize(_build_ref_realnvp(nf_ref))
+    model = import_state_dict(_build_our_realnvp(scan=scan), _sd(ref))
+
+    x = np.random.default_rng(1).normal(size=(64, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.log_prob(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.log_prob(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_nsf_state_dict_roundtrip(nf_ref):
+    import torch
+
+    flows_r, flows_j, keys = [], [], jax.random.split(KEY, 4)
+    for i in range(2):
+        flows_r.append(nf_ref.flows.CoupledRationalQuadraticSpline(
+            2, 1, 16, num_bins=4))
+        flows_r.append(nf_ref.flows.LULinearPermute(2))
+        flows_j.append(nff.CoupledRationalQuadraticSpline.create(
+            keys[2 * i], 2, 1, 16, num_bins=4))
+        flows_j.append(nff.LULinearPermute.create(keys[2 * i + 1], 2))
+    ref = _randomize(nf_ref.NormalizingFlow(
+        nf_ref.distributions.DiagGaussian(2), flows_r))
+    ours = nf_tpu.NormalizingFlow.create(dist.DiagGaussian.create(2),
+                                         flows_j)
+    # the random permutation is a buffer, not a parameter: it transfers
+    # from the checkpoint rather than being regenerated
+    model = import_state_dict(ours, _sd(ref))
+
+    x = np.random.default_rng(2).normal(size=(32, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.log_prob(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.log_prob(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_maf_state_dict_roundtrip(nf_ref):
+    import torch
+
+    ref = _randomize(nf_ref.NormalizingFlow(
+        nf_ref.distributions.DiagGaussian(2),
+        [nf_ref.flows.MaskedAffineAutoregressive(2, 16, num_blocks=2)]))
+    ours = nf_tpu.NormalizingFlow.create(
+        dist.DiagGaussian.create(2),
+        [nff.MaskedAffineAutoregressive.create(KEY, 2, 16, num_blocks=2)])
+    model = import_state_dict(ours, _sd(ref))
+
+    x = np.random.default_rng(3).normal(size=(32, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.log_prob(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.log_prob(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_glow_block_state_dict_roundtrip(nf_ref):
+    import torch
+
+    ref = _randomize(nf_ref.flows.GlowBlock(8, 16, split_mode="channel"))
+    ours = nff.GlowBlock.create(KEY, 8, 16, split_mode="channel")
+    block = import_state_dict(ours, _sd(ref))
+
+    x = np.random.default_rng(4).normal(size=(2, 8, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        want, want_ld = ref.forward(torch.from_numpy(x))
+    got, got_ld = block.forward(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_ld), want_ld.numpy(),
+                               atol=2e-4)
+
+
+@pytest.mark.parametrize("scan", [False, True])
+def test_glow_multiscale_state_dict_roundtrip(nf_ref, scan):
+    """The flagship migration: a reference multi-scale class-conditional
+    Glow checkpoint (ref examples/glow.ipynb cell 2 recipe, small dims)
+    loads into build_glow_multiscale — including the scan=True variant
+    whose per-level GlowBlocks live in one lax.scan stack."""
+    import torch
+
+    import nf_tpu.models as models
+
+    L, K, hidden, shape, n_cls = 2, 2, 16, (3, 8, 8), 4
+    q0, flows, merges = [], [], []
+    for i in range(L):
+        ch = shape[0] * 2 ** (L + 1 - i)
+        flows_ = [nf_ref.flows.GlowBlock(ch, hidden, split_mode="channel",
+                                         scale=True)
+                  for _ in range(K)]
+        flows_ += [nf_ref.flows.Squeeze()]
+        flows.append(flows_)
+        if i > 0:
+            merges.append(nf_ref.flows.Merge())
+            latent = (shape[0] * 2 ** (L - i), shape[1] // 2 ** (L - i),
+                      shape[2] // 2 ** (L - i))
+        else:
+            latent = (shape[0] * 2 ** (L + 1), shape[1] // 2 ** L,
+                      shape[2] // 2 ** L)
+        q0.append(nf_ref.distributions.ClassCondDiagGaussian(latent, n_cls))
+    ref = _randomize(nf_ref.MultiscaleFlow(
+        q0, flows, merges, transform=nf_ref.transforms.Logit(0.05)))
+
+    ours = models.build_glow_multiscale(
+        KEY, input_shape=shape, L=L, K=K, hidden_channels=hidden,
+        num_classes=n_cls, class_cond=True, logit_alpha=0.05, scan=scan)
+    model = import_state_dict(ours, _sd(ref))
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0.1, 0.9, size=(2,) + shape).astype(np.float32)
+    y = np.array([1, 3])
+    with torch.no_grad():
+        want = ref.log_prob(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+    got = np.asarray(model.log_prob(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+
+def test_missing_key_raises(nf_ref):
+    ref = _randomize(_build_ref_realnvp(nf_ref, K=1))
+    sd = _sd(ref)
+    sd.pop("flows.0.t.net.0.weight")
+    # surfaces as KeyError (missing leaf) or ValueError (layer-count scan)
+    with pytest.raises((KeyError, ValueError)):
+        import_state_dict(_build_our_realnvp(K=1), sd)
+
+
+def test_unused_key_strict(nf_ref):
+    ref = _randomize(_build_ref_realnvp(nf_ref, K=1))
+    sd = _sd(ref)
+    sd["orphan.s"] = np.zeros((1, 2), np.float32)
+    with pytest.raises(ValueError, match="not consumed"):
+        import_state_dict(_build_our_realnvp(K=1), sd)
+    import_state_dict(_build_our_realnvp(K=1), sd, strict=False)
+
+
+def test_architecture_mismatch_raises(nf_ref):
+    ref = _randomize(_build_ref_realnvp(nf_ref, K=4))
+    with pytest.raises(ValueError, match="architectures differ"):
+        import_state_dict(_build_our_realnvp(K=1), _sd(ref))

@@ -177,3 +177,78 @@ def test_class_cond_flow_sampler_temperature():
     served_hot = compile_sampler(model, num_samples=6, class_cond=True)
     z_hot, _ = served_hot(jax.random.PRNGKey(0), y)
     assert float(jnp.std(z)) < float(jnp.std(z_hot)) + 1e-6
+
+
+def test_export_log_prob_roundtrip_frozen():
+    """Frozen artifact: serialize -> drop the model -> reload -> same
+    densities. The deserialized handle needs no nf_tpu code paths."""
+    from nf_tpu.serving import export_log_prob, load_exported
+
+    key = jax.random.PRNGKey(9)
+    model = models.build_realnvp(key, dim=2, K=2, hidden=[8, 8])
+    x = jax.random.normal(key, (16, 2))
+    want = np.asarray(model.log_prob(x))
+
+    blob = export_log_prob(model, (16, 2))
+    assert isinstance(blob, bytes) and len(blob) > 0
+    fn = load_exported(blob)
+    np.testing.assert_allclose(np.asarray(fn(x)), want, atol=1e-5)
+
+
+def test_export_sampler_roundtrip_file(tmp_path):
+    from nf_tpu.serving import export_sampler, load_exported
+
+    key = jax.random.PRNGKey(10)
+    model = models.build_nsf(key, dim=2, K=2, hidden=16, num_bins=4)
+    path = tmp_path / "sampler.stablehlo"
+    path.write_bytes(export_sampler(model, num_samples=32))
+
+    fn = load_exported(str(path))
+    k = jax.random.PRNGKey(3)
+    z, log_q = fn(k)
+    z2, log_q2 = model.sample(k, 32)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(log_q), np.asarray(log_q2),
+                               atol=1e-4)
+
+
+def test_export_log_prob_refreshable_params():
+    """freeze_params=False: one artifact, hot-swapped weights at call
+    time."""
+    from nf_tpu.serving import export_log_prob, load_exported
+
+    key = jax.random.PRNGKey(11)
+    model = models.build_realnvp(key, dim=2, K=2, hidden=[8, 8])
+    params, static = partition(model)
+    blob = export_log_prob(model, (8, 2), freeze_params=False)
+    fn = load_exported(blob)
+
+    x = jax.random.normal(key, (8, 2))
+    leaves = jax.tree_util.tree_leaves(params)
+    np.testing.assert_allclose(np.asarray(fn(leaves, x)),
+                               np.asarray(model.log_prob(x)), atol=1e-5)
+    params2 = jax.tree_util.tree_map(
+        lambda a: a + 0.05 if a is not None else None, params,
+        is_leaf=lambda v: v is None)
+    model2 = combine(params2, static)
+    np.testing.assert_allclose(
+        np.asarray(fn(jax.tree_util.tree_leaves(params2), x)),
+        np.asarray(model2.log_prob(x)), atol=1e-5)
+
+
+def test_export_class_cond_sampler_roundtrip():
+    from nf_tpu.serving import export_sampler, load_exported
+
+    key = jax.random.PRNGKey(12)
+    model = models.build_glow_multiscale(
+        key, input_shape=(3, 8, 8), L=2, K=1, hidden_channels=16,
+        class_cond=True, num_classes=4)
+    y = jnp.arange(8, dtype=jnp.int32) % 4
+    k = jax.random.PRNGKey(4)
+    fn = load_exported(export_sampler(model, num_samples=8, class_cond=True,
+                                      temperature=0.7))
+    z, log_q = fn(k, y)
+    z2, log_q2 = model.sample(k, 8, y=y, temperature=0.7)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(log_q), np.asarray(log_q2),
+                               atol=1e-3)

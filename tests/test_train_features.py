@@ -184,7 +184,7 @@ def test_train_binary_accum_ema_flags():
                         "--target", "two_moons", "--iters", "2",
                         "--num_layers", "2", "--hidden", "16",
                         "--batch_size", "64", "--accum_steps", "2",
-                        "--ema_decay", "0.99"])
+                        "--ema_decay", "0.99", "--skip_nonfinite"])
     assert state.ema_params is not None
     assert int(state.step) == 2
 
@@ -193,6 +193,49 @@ def test_train_binary_accum_ema_flags():
                         "--hidden", "16", "--num_samples", "64",
                         "--accum_steps", "2", "--ema_decay", "0.99"])
     assert state.ema_params is not None
+
+
+def test_skip_nonfinite_discards_bad_update():
+    """A NaN-producing batch must leave params/opt_state/EMA untouched but
+    still advance the step counter; a clean batch then updates normally."""
+    model = make_model(KEY)
+    opt = optax.adam(1e-3)
+    state, static = init_train_state(model, opt, with_ema=True)
+    step = make_forward_kld_step(static, opt, ema_decay=0.9,
+                                 skip_nonfinite=True)
+
+    x_bad = dist.TwoMoons().sample(KEY, 32).at[0, 0].set(jnp.nan)
+    s1, loss_bad = step(state, x_bad)
+    assert not np.isfinite(float(loss_bad))  # loss still reported
+    assert int(s1.step) == 1                 # counter advanced
+    assert _max_leaf_diff(s1.params, state.params) == 0.0
+    assert _max_leaf_diff(s1.ema_params, state.ema_params) == 0.0
+    assert _max_leaf_diff(s1.opt_state, state.opt_state) == 0.0
+
+    x_ok = dist.TwoMoons().sample(KEY, 32)
+    s2, loss_ok = step(s1, x_ok)
+    assert np.isfinite(float(loss_ok))
+    assert int(s2.step) == 2
+    assert _max_leaf_diff(s2.params, s1.params) > 0
+
+
+def test_skip_nonfinite_reverse_kld_clean_path_unchanged():
+    """With finite losses the guard is a no-op: guarded and unguarded steps
+    produce identical states on the VI path."""
+    mesh = make_mesh()
+    model = make_model(KEY)
+    opt = optax.adam(1e-3)
+    state, static = init_train_state(model, opt)
+    state2 = jax.tree_util.tree_map(jnp.array, state)
+    s_plain = make_reverse_kld_step(static, opt, mesh, num_samples=64)
+    s_guard = make_reverse_kld_step(static, opt, mesh, num_samples=64,
+                                    skip_nonfinite=True)
+    key = jax.random.PRNGKey(11)
+    st1, l1 = s_plain(state, key)
+    st2, l2 = s_guard(state2, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    assert _max_leaf_diff(st1.params, st2.params) == 0.0
+    assert int(st2.step) == 1
 
 
 def test_reshape_for_accum_validates():
