@@ -67,7 +67,16 @@ from .flows.neural_spline.wrapper import (
     CircularCoupledRationalQuadraticSpline,
     CoupledRationalQuadraticSpline,
 )
+from .flows.residual import Residual, iResBlock
+from .flows.stochastic import HamiltonianMonteCarlo, MetropolisHastings
 from .nets.cnn import Conv2d, ConvNet2d, _NetActNorm
+from .nets.lipschitz import (
+    InducedNormConv2d,
+    InducedNormLinear,
+    LipschitzCNN,
+    LipschitzMLP,
+    Swish,
+)
 from .nets.made import (
     MADE,
     MaskedFeedforwardBlock,
@@ -322,6 +331,59 @@ def _autoregressive(mod: Autoregressive, sd, p):
                                     p + "autoregressive_net."))
 
 
+def _induced_norm(mod, sd, p):
+    """InducedNormLinear/Conv2d: weight/bias params plus the converged
+    power-iteration vectors u/v (buffers). The reference's ``scale`` buffer
+    is a running sigma used only by its one-iter bookkeeping — derivable,
+    skipped (ref nets/lipschitz.py:168,266)."""
+    sd.mark_used(p + "scale")
+    return mod.replace(weight=sd.get(p + "weight"),
+                       bias=sd.get(p + "bias") if sd.has(p + "bias")
+                       else None,
+                       u=_maybe(sd, p + "u", mod.u),
+                       v=_maybe(sd, p + "v", mod.v))
+
+
+def _lipschitz_net(mod, sd, p):
+    """LipschitzMLP/CNN: our ``layers`` alternate Swish / induced-norm
+    layers in the same order as the reference's ``net`` Sequential."""
+    out = []
+    for i, layer in enumerate(mod.layers):
+        q = f"{p}net.{i}."
+        if isinstance(layer, Swish):
+            out.append(layer.replace(beta=sd.get(q + "beta")))
+        else:
+            out.append(_induced_norm(layer, sd, q))
+    return mod.replace(layers=tuple(out))
+
+
+def _iresblock(mod: iResBlock, sd, p):
+    for name in ("last_n_samples", "last_firmom", "last_secmom"):
+        sd.mark_used(p + name)  # logging buffers, not model state
+    return mod.replace(geom_p_logit=sd.get(p + "geom_p"),
+                       lamb=sd.get(p + "lamb"),
+                       nnet=_convert(mod.nnet, sd, p + "nnet."))
+
+
+def _residual(mod: Residual, sd, p):
+    return mod.replace(iresblock=_iresblock(mod.iresblock, sd,
+                                            p + "iresblock."))
+
+
+def _metropolis(mod: MetropolisHastings, sd, p):
+    prop = mod.proposal
+    if sd.has(p + "proposal.scale"):
+        prop = prop.replace(scale=sd.get(p + "proposal.scale"))
+    return mod.replace(target=_convert(mod.target, sd, p + "target."),
+                       proposal=prop)
+
+
+def _hmc(mod: HamiltonianMonteCarlo, sd, p):
+    return mod.replace(target=_convert(mod.target, sd, p + "target."),
+                       log_step_size=sd.get(p + "log_step_size"),
+                       log_mass=sd.get(p + "log_mass"))
+
+
 def _named_arrays(names):
     """Copy plain array fields whose names match the reference's 1:1
     (Planar u/w/b — ref flows/planar.py; Radial z_0/beta/alpha — ref
@@ -489,6 +551,14 @@ _CONVERTERS = (
     (Autoregressive, _autoregressive),
     (Planar, _named_arrays(("u", "w", "b"))),
     (Radial, _named_arrays(("z_0", "beta", "alpha"))),
+    (Residual, _residual),
+    (iResBlock, _iresblock),
+    (InducedNormLinear, _induced_norm),
+    (InducedNormConv2d, _induced_norm),
+    (LipschitzMLP, _lipschitz_net),
+    (LipschitzCNN, _lipschitz_net),
+    (MetropolisHastings, _metropolis),
+    (HamiltonianMonteCarlo, _hmc),
     (Composite, _composite),
     (Split, _identity),
     (Merge, _identity),

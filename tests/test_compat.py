@@ -206,6 +206,55 @@ def test_glow_multiscale_state_dict_roundtrip(nf_ref, scan):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
 
 
+def test_residual_state_dict_roundtrip(nf_ref):
+    """Residual flow: the Lipschitz net (incl. converged power-iteration
+    u/v buffers) and the roulette parameters transfer; the residual map
+    g(x) then matches pointwise (log-det is a stochastic estimator, so the
+    deterministic map is the right parity surface)."""
+    import torch
+
+    from nf_tpu.nets import LipschitzMLP
+
+    lip_r = nf_ref.nets.LipschitzMLP([2, 16, 16, 2], init_zeros=True,
+                                     lipschitz_const=0.9)
+    ref = _randomize(nf_ref.flows.Residual(lip_r, reduce_memory=False))
+    with torch.no_grad():  # restore spectral-norm buffers to a valid state
+        for _ in range(8):
+            nf_ref.utils.update_lipschitz(ref, 8)
+
+    lip_j = LipschitzMLP.create(KEY, [2, 16, 16, 2], lipschitz_const=0.9)
+    ours = nff.Residual.create(lip_j)
+    flow = import_state_dict(ours, _sd(ref))
+
+    x = np.random.default_rng(6).normal(size=(8, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.iresblock.nnet(torch.from_numpy(x)).numpy()
+    got = np.asarray(flow.iresblock.nnet(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    np.testing.assert_allclose(
+        float(flow.iresblock.geom_p_logit),
+        float(ref.iresblock.geom_p.detach()), rtol=1e-6)
+
+
+def test_hmc_state_dict_roundtrip(nf_ref):
+    import torch
+
+    ref = nf_ref.flows.HamiltonianMonteCarlo(
+        nf_ref.distributions.DiagGaussian(2), 4,
+        torch.log(torch.tensor([0.1, 0.2])), torch.zeros(2))
+    _randomize(ref)
+    ours = nff.HamiltonianMonteCarlo.create(
+        dist.DiagGaussian.create(2), 4,
+        log_step_size=jnp.zeros(2), log_mass=jnp.zeros(2))
+    flow = import_state_dict(ours, _sd(ref))
+    np.testing.assert_allclose(np.asarray(flow.log_step_size),
+                               ref.log_step_size.detach().numpy())
+    np.testing.assert_allclose(np.asarray(flow.log_mass),
+                               ref.log_mass.detach().numpy())
+    np.testing.assert_allclose(np.asarray(flow.target.loc),
+                               ref.target.loc.detach().numpy())
+
+
 def test_missing_key_raises(nf_ref):
     ref = _randomize(_build_ref_realnvp(nf_ref, K=1))
     sd = _sd(ref)
