@@ -583,6 +583,24 @@ def _convert(mod, sd: _StateDict, prefix: str):
         f"{sorted({t.__name__ for t, _ in _CONVERTERS})}")
 
 
+def save_state_dict_npz(state_dict, path):
+    """Write a torch ``state_dict`` to ``.npz`` (run this on the torch
+    side; the TPU host then needs no torch to import the checkpoint)."""
+    arrays = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        arrays[k] = np.asarray(v)
+    np.savez(path, **arrays)
+
+
+def load_state_dict_npz(path):
+    """Load an ``.npz`` written by :func:`save_state_dict_npz` back into a
+    {name: array} mapping for :func:`import_state_dict`."""
+    with np.load(path) as f:
+        return {k: f[k] for k in f.files}
+
+
 def import_state_dict(model, state_dict, strict: bool = True):
     """Load a reference (normflows) ``state_dict`` into ``model``.
 

@@ -277,3 +277,23 @@ def test_architecture_mismatch_raises(nf_ref):
     ref = _randomize(_build_ref_realnvp(nf_ref, K=4))
     with pytest.raises(ValueError, match="architectures differ"):
         import_state_dict(_build_our_realnvp(K=1), _sd(ref))
+
+
+def test_npz_bridge_roundtrip(nf_ref, tmp_path):
+    """save_state_dict_npz / load_state_dict_npz carry a checkpoint to a
+    torch-free host without loss."""
+    from nf_tpu.compat import load_state_dict_npz, save_state_dict_npz
+
+    ref = _randomize(_build_ref_realnvp(nf_ref, K=2))
+    path = tmp_path / "ckpt.npz"
+    save_state_dict_npz(ref.state_dict(), path)
+    sd = load_state_dict_npz(path)
+    model = import_state_dict(_build_our_realnvp(K=2), sd)
+
+    import torch
+
+    x = np.random.default_rng(7).normal(size=(16, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.log_prob(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(model.log_prob(jnp.asarray(x))),
+                               want, atol=2e-4)
