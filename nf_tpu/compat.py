@@ -36,6 +36,7 @@ import numpy as np
 
 from . import core
 from .distributions import base as dist_base
+from .distributions import decoder, encoder
 from .flows import (
     ActNorm,
     AffineConstFlow,
@@ -384,6 +385,16 @@ def _hmc(mod: HamiltonianMonteCarlo, sd, p):
                        log_mass=sd.get(p + "log_mass"))
 
 
+def _net_holder(field):
+    """Modules whose only state is a conditioner net under ``field`` (VAE
+    encoders/decoders — ref distributions/encoder.py, decoder.py; the
+    conditional base's context encoder — ref distributions/base.py:106)."""
+    def conv(mod, sd, p):
+        return mod.replace(
+            **{field: _convert(getattr(mod, field), sd, f"{p}{field}.")})
+    return conv
+
+
 def _named_arrays(names):
     """Copy plain array fields whose names match the reference's 1:1
     (Planar u/w/b — ref flows/planar.py; Radial z_0/beta/alpha — ref
@@ -567,6 +578,11 @@ _CONVERTERS = (
     (dist_base.GlowBase, _glow_base),
     (dist_base.DiagGaussian, _diag_gaussian),
     (dist_base.ClassCondDiagGaussian, _diag_gaussian),
+    (dist_base.ConditionalDiagGaussian, _net_holder("context_encoder")),
+    (encoder.NNDiagGaussian, _net_holder("net")),
+    (encoder.ConstDiagGaussian, _named_arrays(("loc", "scale"))),
+    (decoder.NNDiagGaussianDecoder, _net_holder("net")),
+    (decoder.NNBernoulliDecoder, _net_holder("net")),
 )
 
 

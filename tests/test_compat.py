@@ -297,3 +297,41 @@ def test_npz_bridge_roundtrip(nf_ref, tmp_path):
         want = ref.log_prob(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(np.asarray(model.log_prob(jnp.asarray(x))),
                                want, atol=2e-4)
+
+
+def test_vae_encoder_decoder_roundtrip(nf_ref):
+    """VAE pieces: NNDiagGaussian encoder and NNBernoulliDecoder with
+    reference-MLP conditioners transfer through the net-holder path."""
+    import torch
+
+    from nf_tpu.distributions import NNBernoulliDecoder, NNDiagGaussian
+
+    enc_net_r = nf_ref.nets.MLP([4, 16, 6])
+    dec_net_r = nf_ref.nets.MLP([3, 16, 4])
+    enc_r = _randomize(nf_ref.distributions.NNDiagGaussian(enc_net_r))
+    dec_r = _randomize(nf_ref.distributions.NNBernoulliDecoder(dec_net_r),
+                       seed=1)
+
+    enc_j = NNDiagGaussian(net=MLP.create(KEY, [4, 16, 6]))
+    dec_j = NNBernoulliDecoder(net=MLP.create(KEY, [3, 16, 4]))
+    enc = import_state_dict(enc_j, _sd(enc_r))
+    dec = import_state_dict(dec_j, _sd(dec_r))
+
+    x = np.random.default_rng(8).normal(size=(2, 4)).astype(np.float32)
+    z = np.random.default_rng(9).normal(size=(2, 1, 3)).astype(np.float32)
+    xb = (x > 0).astype(np.float32)
+    with torch.no_grad():
+        z_r, logq_r = enc_r(torch.from_numpy(x), num_samples=1)
+        logp_r = dec_r.log_prob(torch.from_numpy(xb),
+                                torch.from_numpy(z))
+    _, logq_j = enc.forward(jax.random.PRNGKey(0), jnp.asarray(x),
+                            num_samples=1)
+    logp_j = dec.log_prob(jnp.asarray(xb), jnp.asarray(z))
+    # encoder draws differ (different RNG), so compare the deterministic
+    # decoder likelihood and the encoder's moment net outputs
+    np.testing.assert_allclose(np.asarray(logp_j), logp_r.numpy(),
+                               atol=1e-4)
+    with torch.no_grad():
+        moments_r = enc_net_r(torch.from_numpy(x)).numpy()
+    moments_j = np.asarray(enc.net(jnp.asarray(x)))
+    np.testing.assert_allclose(moments_j, moments_r, atol=1e-5)
