@@ -42,7 +42,9 @@ from .flows import (
     AffineConstFlow,
     AffineCoupling,
     AffineCouplingBlock,
+    BatchNorm,
     Composite,
+    Reverse,
     Invertible1x1Conv,
     InvertibleAffine,
     LULinear,
@@ -527,6 +529,11 @@ def _identity(mod, sd, p):
     return mod
 
 
+def _batch_norm(mod, sd, p):
+    sd.mark_used(p + "eps")  # the reference registers eps as a buffer
+    return mod
+
+
 # Order matters: subclasses before base classes.
 _CONVERTERS = (
     (core.MultiscaleFlow, _multiscale),
@@ -573,6 +580,10 @@ _CONVERTERS = (
     (Composite, _composite),
     (Split, _identity),
     (Merge, _identity),
+    # Reverse wraps one flow under `flow.` (ref flows/base.py:27); our
+    # BatchNorm is paramless but the reference registers eps as a buffer
+    (Reverse, _net_holder("flow")),
+    (BatchNorm, _batch_norm),
     # transparent bf16 wrapper — no reference level, same prefix
     (MixedPrecision, lambda m, sd, p: m.replace(net=_convert(m.net, sd, p))),
     (dist_base.GlowBase, _glow_base),
