@@ -71,7 +71,7 @@ def train_reference(iters, seed=0):
             loss.backward()
             opt.step()
     print(f"reference: {iters} torch iters, NLL {float(loss.detach()):.3f}")
-    return model.state_dict(), x_np
+    return model, x_np
 
 
 def build_matching_model():
@@ -92,7 +92,8 @@ def main():
     p.add_argument("--torch-iters", type=int, default=200)
     args = p.parse_args()
 
-    sd, x_np = train_reference(args.torch_iters, seed=args.seed)
+    ref_model, x_np = train_reference(args.torch_iters, seed=args.seed)
+    sd = ref_model.state_dict()
 
     # --- the npz bridge: the TPU host never needs torch ---
     with tempfile.TemporaryDirectory() as d:
@@ -102,16 +103,16 @@ def main():
                                   load_state_dict_npz(path))
     print(f"imported {len(sd)} checkpoint entries")
 
-    # --- parity check on the migrated weights ---
+    # --- parity check: migrated densities must equal the reference's ---
     import torch
 
-    sys.path.insert(0, "/root/reference")
-    import normflows as nf  # noqa: F401  (already imported in train)
-
-    x = jnp.asarray(x_np[:256])
-    lp_jax = np.asarray(model.log_prob(x))
-    print(f"migrated log_prob: mean {lp_jax.mean():+.4f} "
-          f"(finite: {np.isfinite(lp_jax).all()})")
+    x_chk = x_np[:256]
+    with torch.no_grad():
+        lp_ref = ref_model.log_prob(torch.from_numpy(x_chk)).numpy()
+    lp_jax = np.asarray(model.log_prob(jnp.asarray(x_chk)))
+    gap = float(np.abs(lp_jax - lp_ref).max())
+    print(f"parity: max |log_prob gap| = {gap:.2e} over {len(x_chk)} points")
+    assert gap < 1e-3, "migrated densities diverge from the reference"
 
     # --- continue training on the accelerator from the migrated weights ---
     mesh = make_mesh(("data",))
@@ -120,14 +121,18 @@ def main():
     step = make_forward_kld_step(static, opt, mesh=mesh,
                                  skip_nonfinite=True)
     data = jnp.asarray(x_np)
-    nll0 = None
+    nll0 = nll = None
     for it in range(args.iters):
         batch = shard_batch(mesh, data)
         state, loss = step(state, batch)
         if it == 0:
             nll0 = float(loss)
-    print(f"continued {args.iters} TPU steps: NLL {nll0:.3f} -> "
-          f"{float(loss):.3f} (resumed below the from-scratch start)")
+        nll = loss
+    if nll is None:
+        print("no accelerator steps requested (--iters 0); migration done")
+    else:
+        print(f"continued {args.iters} accelerator steps: NLL {nll0:.3f} "
+              f"-> {float(nll):.3f} (resumed from the migrated weights)")
 
 
 if __name__ == "__main__":

@@ -295,9 +295,11 @@ def _permutation(mod: _Permutation, sd, p):
 
 
 def _permute(mod: Permute, sd, p):
-    # ref Permute keeps the permutation in a non-persistent buffer for
-    # shuffle mode; swap mode has no state (ref flows/permute.py)
+    # ref shuffle-mode Permute registers BOTH perm and inv_perm as
+    # persistent buffers (ref flows/mixing.py:29-30); inv_perm is
+    # derivable, so consume and recompute it. Swap mode has no state.
     if sd.has(p + "perm"):
+        sd.mark_used(p + "inv_perm")
         perm = sd.get(p + "perm").astype(jnp.int32)
         return mod.replace(perm=perm, inv_perm=jnp.argsort(perm))
     return mod
@@ -315,7 +317,10 @@ def _coupling(mod: Coupling, sd, p):
                        ("transform_features", mod.transform_features)):
         if sd.has(p + name):
             ref = np.asarray(sd.get(p + name)).ravel()
-            if not np.array_equal(np.sort(ref), np.sort(np.asarray(ours))):
+            # ORDER matters: the conditioner's output slots map to
+            # features positionally, so same-set-different-order is a
+            # silently wrong import, not a benign relabeling
+            if not np.array_equal(ref, np.asarray(ours)):
                 raise ValueError(
                     f"{p}{name} mismatch: checkpoint {ref.tolist()} vs "
                     f"model {list(ours)} — rebuild the model with the "
@@ -339,7 +344,10 @@ def _induced_norm(mod, sd, p):
     power-iteration vectors u/v (buffers). The reference's ``scale`` buffer
     is a running sigma used only by its one-iter bookkeeping — derivable,
     skipped (ref nets/lipschitz.py:168,266)."""
-    sd.mark_used(p + "scale")
+    for name in ("scale", "initialized", "spatial_dims"):
+        # conv variant also registers initialized/spatial_dims buffers
+        # (ref nets/lipschitz.py:334-335) — config, not weights
+        sd.mark_used(p + name)
     return mod.replace(weight=sd.get(p + "weight"),
                        bias=sd.get(p + "bias") if sd.has(p + "bias")
                        else None,
@@ -395,6 +403,12 @@ def _net_holder(field):
         return mod.replace(
             **{field: _convert(getattr(mod, field), sd, f"{p}{field}.")})
     return conv
+
+
+def _radial(mod: Radial, sd, p):
+    sd.mark_used(p + "d")  # persistent dim buffer (ref flows/radial.py:25)
+    return mod.replace(z_0=sd.get(p + "z_0"), beta=sd.get(p + "beta"),
+                       alpha=sd.get(p + "alpha"))
 
 
 def _named_arrays(names):
@@ -568,7 +582,7 @@ _CONVERTERS = (
     (MaskedAffineAutoregressive, _autoregressive),
     (Autoregressive, _autoregressive),
     (Planar, _named_arrays(("u", "w", "b"))),
-    (Radial, _named_arrays(("z_0", "beta", "alpha"))),
+    (Radial, _radial),
     (Residual, _residual),
     (iResBlock, _iresblock),
     (InducedNormLinear, _induced_norm),

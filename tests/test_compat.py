@@ -335,3 +335,48 @@ def test_vae_encoder_decoder_roundtrip(nf_ref):
         moments_r = enc_net_r(torch.from_numpy(x)).numpy()
     moments_j = np.asarray(enc.net(jnp.asarray(x)))
     np.testing.assert_allclose(moments_j, moments_r, atol=1e-5)
+
+
+def test_permute_radial_strict_import(nf_ref):
+    """Regression: shuffle-mode Permute's persistent inv_perm buffer and
+    Radial's dim buffer must be consumed so strict import succeeds."""
+    import torch
+
+    ref = nf_ref.NormalizingFlow(
+        nf_ref.distributions.DiagGaussian(2),
+        [nf_ref.flows.Permute(2, mode="shuffle"),
+         nf_ref.flows.Radial((2,))])
+    _randomize(ref)
+    ours = nf_tpu.NormalizingFlow.create(
+        dist.DiagGaussian.create(2),
+        [nff.Permute.create(KEY, 2, mode="shuffle"),
+         nff.Radial.create(jax.random.PRNGKey(1), 2)])
+    model = import_state_dict(ours, _sd(ref))  # strict must not raise
+
+    x = np.random.default_rng(10).normal(size=(8, 2)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = ref.flows[0].forward(torch.from_numpy(x))
+    got, _ = model.flows[0].forward(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+
+def test_coupling_feature_order_mismatch_raises(nf_ref):
+    """Regression: same feature SET in a different ORDER is a silently
+    wrong import — the check must compare order, not membership."""
+    ref = _randomize(nf_ref.flows.CoupledRationalQuadraticSpline(
+        2, 1, 16, num_bins=4))
+    sd = _sd(ref)
+    for name in ("identity_features", "transform_features"):
+        key = f"prqct.{name}"
+        sd[key] = sd[key][::-1].copy()
+    swapped_total = sd["prqct.identity_features"].size + \
+        sd["prqct.transform_features"].size
+    assert swapped_total == 2
+    ours = nff.CoupledRationalQuadraticSpline.create(KEY, 2, 1, 16,
+                                                     num_bins=4)
+    # single-feature halves can't be order-swapped; emulate by pointing
+    # identity at the transform index instead
+    sd["prqct.identity_features"], sd["prqct.transform_features"] = (
+        sd["prqct.transform_features"], sd["prqct.identity_features"])
+    with pytest.raises(ValueError, match="mismatch"):
+        import_state_dict(ours, sd)
