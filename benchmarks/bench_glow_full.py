@@ -63,9 +63,13 @@ def main():
     run(False)
     run(True)
     # batch scaling: b=128 underfills the chip on the small convs
-    # (BASELINE.md achieved-FLOPs analysis); b=256 rows quantify the win
+    # (BASELINE.md achieved-FLOPs analysis); b=256/b=512 rows quantify it
     run(False, batch=256)
     run(True, batch=256)
+    try:
+        run(True, batch=512, reps=4)
+    except Exception as e:  # b=512 can exceed HBM on a single v5e
+        print(f"b=512 bf16 row skipped: {type(e).__name__}: {e}")
     save_results()
 
 
