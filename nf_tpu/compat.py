@@ -13,10 +13,12 @@ Covered module families (reference naming cited per converter): the
 ``NormalizingFlow`` containers, RealNVP layers (MaskedAffineFlow / ActNorm /
 AffineConstFlow / Permute / Invertible1x1Conv / InvertibleAffine), the
 neural-spline stack (Coupled/Autoregressive RQS wrappers, LULinearPermute),
-MAF (MaskedAffineAutoregressive over MADE), Planar/Radial, Glow
-(GlowBlock / ConvNet2d / MultiscaleFlow / GlowBase / ClassCondDiagGaussian).
+MAF (MaskedAffineAutoregressive over MADE), Planar/Radial/Reverse/BatchNorm,
+Glow (GlowBlock / ConvNet2d / MultiscaleFlow / GlowBase /
+ClassCondDiagGaussian), residual flows (iResBlock over Lipschitz nets),
+stochastic MCMC layers (MH / HMC), and the VAE encoders/decoders.
 Values may be torch tensors or anything ``np.asarray`` accepts; torch is
-never imported here.
+never imported here (see :func:`save_state_dict_npz` for the bridge).
 
 Our ``Scanned`` stacks (no reference equivalent) are handled by consuming K
 consecutive reference flow indices and restacking — a reference checkpoint
