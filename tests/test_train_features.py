@@ -246,3 +246,19 @@ def test_reshape_for_accum_validates():
         assert "divisible" in str(e)
     else:
         raise AssertionError("expected ValueError on indivisible batch")
+
+
+def test_skip_nonfinite_with_grad_accum():
+    """A NaN in ANY microbatch poisons the accumulated mean, so the guard
+    must skip the whole update."""
+    model = make_model(KEY)
+    opt = optax.adam(1e-3)
+    state, static = init_train_state(model, opt)
+    step = make_forward_kld_step(static, opt, accum_steps=2,
+                                 skip_nonfinite=True)
+    x = dist.TwoMoons().sample(KEY, 32)
+    xa = reshape_for_accum(x.at[20, 1].set(jnp.inf), 2)  # 2nd microbatch
+    s1, loss = step(state, xa)
+    assert not np.isfinite(float(loss))
+    assert int(s1.step) == 1
+    assert _max_leaf_diff(s1.params, state.params) == 0.0
