@@ -90,7 +90,11 @@ from .nets.made import (
 )
 from .nets.mlp import MLP, Linear
 from .nets.precision import MixedPrecision
-from .nets.resnet import ResidualBlock, ResidualNet
+from .nets.resnet import (
+    ConvResidualNet,
+    ResidualBlock,
+    ResidualNet,
+)
 
 
 class _StateDict:
@@ -220,6 +224,30 @@ def _residual_net(mod: ResidualNet, sd, p):
         initial_layer=_conv_linear(mod.initial_layer, sd,
                                    p + "initial_layer."),
         blocks=tuple(_residual_block(b, sd, f"{p}blocks.{i}.")
+                     for i, b in enumerate(mod.blocks)),
+        final_layer=_conv_linear(mod.final_layer, sd, p + "final_layer."))
+
+
+def _conv_residual_block(mod, sd, p):
+    """ConvResidualBlock: conv pair under ``conv_layers`` (ref
+    resnet.py:107-156); batch-norm variants are not supported."""
+    if mod.batch_norms is not None or sd.has(p + "batch_norm_layers.0.weight"):
+        raise NotImplementedError(
+            "batch_norm ConvResidualNets are not supported by the importer")
+    ctx = mod.context_layer
+    if ctx is not None:
+        ctx = _conv_linear(ctx, sd, p + "context_layer.")
+    return mod.replace(
+        convs=tuple(_conv_linear(c, sd, f"{p}conv_layers.{i}.")
+                    for i, c in enumerate(mod.convs)),
+        context_layer=ctx)
+
+
+def _conv_residual_net(mod, sd, p):
+    return mod.replace(
+        initial_layer=_conv_linear(mod.initial_layer, sd,
+                                   p + "initial_layer."),
+        blocks=tuple(_conv_residual_block(b, sd, f"{p}blocks.{i}.")
                      for i, b in enumerate(mod.blocks)),
         final_layer=_conv_linear(mod.final_layer, sd, p + "final_layer."))
 
@@ -563,6 +591,7 @@ _CONVERTERS = (
     (ConvNet2d, _convnet2d),
     (_NetActNorm, _net_actnorm),
     (ResidualNet, _residual_net),
+    (ConvResidualNet, _conv_residual_net),
     (MADE, _made),
     (MaskedAffineFlow, _masked_affine),
     (ActNorm, _affine_const),

@@ -380,3 +380,20 @@ def test_coupling_feature_order_mismatch_raises(nf_ref):
         sd["prqct.transform_features"], sd["prqct.identity_features"])
     with pytest.raises(ValueError, match="mismatch"):
         import_state_dict(ours, sd)
+
+
+def test_conv_residual_net_roundtrip(nf_ref):
+    """ConvResidualNet (image-NSF conditioner) transfers conv pairs."""
+    import torch
+
+    from nf_tpu.nets import ConvResidualNet
+
+    ref = _randomize(nf_ref.nets.ConvResidualNet(3, 4, 8, num_blocks=1))
+    ours = ConvResidualNet.create(KEY, 3, 4, 8, num_blocks=1)
+    net = import_state_dict(ours, _sd(ref))
+    x = np.random.default_rng(11).normal(size=(2, 3, 5, 5)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(net(jnp.asarray(x))), want,
+                               atol=1e-5)
