@@ -222,12 +222,107 @@ def check_serving():
     print("SERVING OK", flush=True)
 
 
+def check_compat():
+    """Checkpoint migration: torch-reference weights -> nf_tpu model on the
+    live backend, density parity, then one training step from the migrated
+    weights."""
+    import os
+    import sys as _sys
+
+    import numpy as np
+
+    if not os.path.isdir("/root/reference"):
+        print("COMPAT SKIPPED (no reference checkout)", flush=True)
+        return
+    _sys.path.insert(0, "/root/reference")
+    import normflows as nf
+    import torch
+
+    import nf_tpu
+    import nf_tpu.distributions as dist
+    import nf_tpu.flows as nff
+    from nf_tpu.compat import import_state_dict
+    from nf_tpu.nets import MLP
+    from nf_tpu.utils.module import combine, partition
+
+    torch.manual_seed(0)
+    K = 4
+    flows_r, flows_j = [], []
+    keys = jax.random.split(jax.random.PRNGKey(0), 2 * K)
+    for i in range(K):
+        b = [float((j + i) % 2) for j in range(2)]
+        flows_r.append(nf.flows.MaskedAffineFlow(
+            torch.tensor(b), t=nf.nets.MLP([2, 32, 2], init_zeros=True),
+            s=nf.nets.MLP([2, 32, 2], init_zeros=True)))
+        flows_r.append(nf.flows.ActNorm(2))
+        flows_j.append(nff.MaskedAffineFlow.create(
+            jnp.array(b), t=MLP.create(keys[2 * i], [2, 32, 2],
+                                       init_zeros=True),
+            s=MLP.create(keys[2 * i + 1], [2, 32, 2], init_zeros=True)))
+        flows_j.append(nff.ActNorm.create(2))
+    ref = nf.NormalizingFlow(nf.distributions.DiagGaussian(2), flows_r)
+    g = torch.Generator().manual_seed(3)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(0.2 * torch.randn(p.shape, generator=g))
+        for name, buf in ref.named_buffers():
+            if name.endswith("data_dep_init_done"):
+                buf.fill_(1.0)
+    ours = nf_tpu.NormalizingFlow.create(
+        dist.DiagGaussian.create(2), flows_j, p=dist.TwoModes())
+    model = import_state_dict(ours, ref.state_dict())
+
+    x = np.random.default_rng(0).normal(size=(64, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.log_prob(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.log_prob(jnp.asarray(x)))
+    gap = float(np.abs(got - want).max())
+    assert gap < 1e-3, gap
+    print(f"  migrated log_prob parity: max gap {gap:.1e}", flush=True)
+
+    import optax
+
+    params, static = partition(model)
+    opt = optax.adam(1e-3)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(
+            lambda q: combine(q, static).forward_kld(jnp.asarray(x)))(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    params, opt_state, loss = step(params, opt.init(params))
+    assert bool(jnp.isfinite(loss)), float(loss)
+    print("COMPAT OK", flush=True)
+
+
+def check_export():
+    """Serialized StableHLO artifact: export -> reload -> same densities."""
+    import numpy as np
+
+    import nf_tpu.models as models
+    from nf_tpu.serving import export_log_prob, load_exported
+
+    key = jax.random.PRNGKey(2)
+    model = models.build_realnvp(key, dim=2, K=4, hidden=[16, 16])
+    x = jax.random.normal(key, (32, 2))
+    fn = load_exported(export_log_prob(model, (32, 2)))
+    err = float(jnp.max(jnp.abs(fn(x) - model.log_prob(x))))
+    assert err < 1e-4, err
+    print(f"  StableHLO artifact reload parity: max err {err:.1e}",
+          flush=True)
+    print("EXPORT OK", flush=True)
+
+
 SECTIONS = {
     "realnvp": check_realnvp_and_spline,
     "residual": check_residual_reverse_kld,
     "data": check_data_pipeline,
     "image_nsf": check_image_nsf,
     "serving": check_serving,
+    "compat": check_compat,
+    "export": check_export,
 }
 
 
