@@ -83,7 +83,11 @@ def train_image(cfg: TrainConfig):
 
     key = jax.random.PRNGKey(cfg.seed)
     mesh = make_mesh(("data",))
-    print(f"mesh: {mesh.shape} on {jax.default_backend()}")
+    is_main = jax.process_index() == 0
+    multiproc = jax.process_count() > 1
+    if is_main:
+        print(f"mesh: {mesh.shape} on {jax.default_backend()} "
+              f"({jax.process_count()} process(es))")
 
     if cfg.data:
         # Raw uint8 -> /255 here; Scale(255/256) + Jitter are applied
@@ -108,7 +112,9 @@ def train_image(cfg: TrainConfig):
     n_train = max(int(n * 0.9), 1)
     x_train, y_train = x_all[:n_train], y_all[:n_train]
     x_test, y_test = x_all[n_train:], y_all[n_train:]
-    print(f"data: {n_train} train / {len(x_test)} test, shape {input_shape}")
+    if is_main:
+        print(f"data: {n_train} train / {len(x_test)} test, "
+              f"shape {input_shape}")
 
     scale, jitter = Scale(), Jitter()
     rng = np.random.default_rng(cfg.seed + 1)
@@ -171,7 +177,19 @@ def train_image(cfg: TrainConfig):
     for it in range(start_step, cfg.iters):
         batch = host_batch()
         batch = batch if cfg.class_cond else batch[0]
-        if cfg.accum_steps > 1:
+        if multiproc:
+            # host_batch draws the SAME seeded global batch on every
+            # process; assemble each process's slice into the global array
+            from .parallel.multihost import (
+                host_local_to_global,
+                process_slice,
+            )
+
+            sl = process_slice(cfg.batch_size)
+            batch = jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[sl], batch)
+            batch = host_local_to_global(mesh, batch)
+        elif cfg.accum_steps > 1:
             batch = shard_batch(mesh, reshape_for_accum(
                 batch, cfg.accum_steps), accum=True)
         else:
@@ -187,20 +205,40 @@ def train_image(cfg: TrainConfig):
                 bpd_ema = eval_bpd(state, use_ema_params=True)
                 ema_txt = f"  ema bits/dim {bpd_ema:.4f}"
                 extra["bits_per_dim_ema"] = bpd_ema
-            print(f"step {it:7d}  loss {loss_f:+.1f}  bits/dim {bpd:.4f}"
-                  f"{ema_txt}  {rate:.1f} it/s", flush=True)
-            if logger is not None:
-                logger.log(it, loss=loss_f, bits_per_dim=bpd,
-                           it_per_s=rate, **extra)
-        if ckpt is not None and (it + 1) % cfg.checkpoint_every == 0:
+            if is_main:
+                print(f"step {it:7d}  loss {loss_f:+.1f}  "
+                      f"bits/dim {bpd:.4f}{ema_txt}  {rate:.1f} it/s",
+                      flush=True)
+                if logger is not None:
+                    logger.log(it, loss=loss_f, bits_per_dim=bpd,
+                               it_per_s=rate, **extra)
+        if ckpt is not None and is_main \
+                and (it + 1) % cfg.checkpoint_every == 0:
             ckpt.save(it + 1, state, wait=False)
-    if ckpt is not None:
+    if ckpt is not None and is_main:
         ckpt.save(cfg.iters, state)
         ckpt.wait_until_finished()
-    if logger is not None:
+    if logger is not None and is_main:
         logger.close()
-    print(f"done: {cfg.iters - start_step} steps in {time.time() - t0:.1f}s")
+    if is_main:
+        print(f"done: {cfg.iters - start_step} steps in "
+              f"{time.time() - t0:.1f}s")
     return state
+
+
+def _init_distributed(cfg: TrainConfig):
+    """Join the jax.distributed cluster (multi-host / multi-process runs;
+    coordinator and rank auto-detected from the environment — see
+    parallel/multihost.py). Returns True on the printing process."""
+    if cfg.distributed:
+        from .parallel.multihost import initialize_distributed
+
+        initialize_distributed()
+        if cfg.accum_steps > 1:
+            raise SystemExit(
+                "--accum_steps with --distributed is not wired yet: "
+                "microbatch reshape happens before the per-process split")
+    return jax.process_index() == 0
 
 
 def main(argv=None):
@@ -208,12 +246,16 @@ def main(argv=None):
 
     enable_compilation_cache()
     cfg = TrainConfig.from_args(argv)
-    print(cfg.to_json())
+    is_main = _init_distributed(cfg)
+    if is_main:
+        print(cfg.to_json())
     if cfg.model in ("glow", "image_nsf"):
         return train_image(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     mesh = make_mesh(("data",))
-    print(f"mesh: {mesh.shape} on {jax.default_backend()}")
+    if is_main:
+        print(f"mesh: {mesh.shape} on {jax.default_backend()} "
+              f"({jax.process_count()} process(es))")
 
     key, sub = jax.random.split(key)
     model = build_model(cfg, sub)
@@ -275,10 +317,24 @@ def main(argv=None):
             ema_decay=cfg.ema_decay if use_ema else None,
             skip_nonfinite=cfg.skip_nonfinite)
 
+        multiproc = jax.process_count() > 1
+
         def run_step(state, key):
             k1, k2 = jax.random.split(key)
+            # every process draws the SAME global batch (same key), so the
+            # per-process slice assembles into a consistent global array
             x = target.sample(k1, cfg.batch_size)
-            if cfg.accum_steps > 1:
+            if multiproc:
+                import numpy as np
+
+                from .parallel.multihost import (
+                    host_local_to_global,
+                    process_slice,
+                )
+
+                x = host_local_to_global(
+                    mesh, np.asarray(x)[process_slice(cfg.batch_size)])
+            elif cfg.accum_steps > 1:
                 x = shard_batch(mesh, reshape_for_accum(
                     x, cfg.accum_steps), accum=True)
             else:
@@ -290,26 +346,31 @@ def main(argv=None):
     # resume continues the RNG stream instead of replaying it from seed
     key = jax.random.fold_in(key, start_step)
 
+    is_main = jax.process_index() == 0
     t0 = time.time()
     loss = None
     for it in range(start_step, cfg.iters):
         key, sub = jax.random.split(key)
         state, loss = run_step(state, sub)
         if it % cfg.log_every == 0 or it == cfg.iters - 1:
-            loss_f = float(loss)
+            loss_f = float(loss)  # replicated: addressable on every process
             rate = (it - start_step + 1) / (time.time() - t0)
-            print(f"step {it:7d}  loss {loss_f:+.4f}  {rate:.1f} it/s",
-                  flush=True)
-            if logger is not None:
-                logger.log(it, loss=loss_f, it_per_s=rate)
-        if ckpt is not None and (it + 1) % cfg.checkpoint_every == 0:
+            if is_main:
+                print(f"step {it:7d}  loss {loss_f:+.4f}  {rate:.1f} it/s",
+                      flush=True)
+                if logger is not None:
+                    logger.log(it, loss=loss_f, it_per_s=rate)
+        if ckpt is not None and is_main \
+                and (it + 1) % cfg.checkpoint_every == 0:
             ckpt.save(it + 1, state, wait=False)  # overlap write with steps
-    if ckpt is not None:
+    if ckpt is not None and is_main:
         ckpt.save(cfg.iters, state)
         ckpt.wait_until_finished()
-    if logger is not None:
+    if logger is not None and is_main:
         logger.close()
-    print(f"done: {cfg.iters - start_step} steps in {time.time() - t0:.1f}s")
+    if is_main:
+        print(f"done: {cfg.iters - start_step} steps in "
+              f"{time.time() - t0:.1f}s")
     return state
 
 

@@ -37,6 +37,7 @@ class TrainConfig:
     accum_steps: int = 1  # gradient accumulation (microbatching)
     ema_decay: float = 0.0  # >0 tracks an EMA of the params (eval weights)
     skip_nonfinite: bool = False  # discard updates with NaN/inf loss/grads
+    distributed: bool = False  # jax.distributed multi-process run
     seed: int = 0
     bf16: bool = False
     checkpoint_dir: Optional[str] = None

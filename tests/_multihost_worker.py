@@ -30,6 +30,9 @@ def main():
     p.add_argument("--global-batch", type=int, default=64)
     p.add_argument("--hybrid", action="store_true",
                    help="also exercise make_hybrid_mesh (data x sample)")
+    p.add_argument("--train-binary", action="store_true",
+                   help="exercise `nf_tpu.train --distributed` instead of "
+                        "the library-level step")
     args = p.parse_args()
 
     import jax
@@ -48,6 +51,32 @@ def main():
             num_processes=args.num_processes, process_id=args.process_id,
             platform="cpu")
         assert (pi, pc) == (args.process_id, args.num_processes)
+
+    if args.train_binary:
+        # end-to-end CLI path: train.main re-enters initialize_distributed
+        # (idempotent no-op) via --distributed and runs the sharded loop
+        import jax.numpy as jnp
+
+        from nf_tpu import train as train_bin
+
+        argv = ["--model", "realnvp", "--loss", "forward_kld",
+                "--target", "two_moons", "--iters", str(args.steps),
+                "--num_layers", "2", "--hidden", "16",
+                "--batch_size", str(args.global_batch),
+                "--log_every", "1"]
+        if args.num_processes > 1:
+            argv.append("--distributed")
+        state = train_bin.main(argv)
+        param_sum = float(sum(
+            jnp.sum(jnp.abs(l))
+            for l in jax.tree_util.tree_leaves(state.params)))
+        with open(args.out, "w") as f:
+            json.dump({"process_id": args.process_id,
+                       "process_count": jax.process_count(),
+                       "final_step": int(state.step),
+                       "param_sum": param_sum}, f)
+        print("train-binary worker done", flush=True)
+        return
 
     import optax
 

@@ -30,7 +30,7 @@ def _free_port():
 
 
 def _run_workers(tmp_path, num_processes, devices_per_process,
-                 hybrid=False, timeout=420):
+                 hybrid=False, train_binary=False, timeout=420):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devices_per_process}")
@@ -45,6 +45,8 @@ def _run_workers(tmp_path, num_processes, devices_per_process,
                "--out", str(out)]
         if hybrid:
             cmd.append("--hybrid")
+        if train_binary:
+            cmd.append("--train-binary")
         procs.append(subprocess.Popen(cmd, cwd=REPO, env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
@@ -124,3 +126,20 @@ def test_make_hybrid_mesh_single_granule():
     n = jax.device_count()
     mesh = make_hybrid_mesh(("data", "model"), ici_shape=(n, 1))
     assert mesh.shape == {"data": n, "model": 1}
+
+
+def test_train_binary_distributed(tmp_path):
+    """`python -m nf_tpu.train --distributed`: a 2-process run must land on
+    the same parameters as the single-process control (same seed, same
+    global batch schedule — the per-process split is semantics-free)."""
+    multi = _run_workers(tmp_path, num_processes=2, devices_per_process=2,
+                         train_binary=True)
+    single = _run_workers(tmp_path, num_processes=1,
+                          devices_per_process=4, train_binary=True)
+    assert all(r["final_step"] == 5 for r in multi + single)
+    assert multi[0]["process_count"] == 2
+    # identical across the two processes (replicated state)...
+    assert multi[0]["param_sum"] == multi[1]["param_sum"]
+    # ...and matching the single-process run within f32 reduction noise
+    np.testing.assert_allclose(multi[0]["param_sum"],
+                               single[0]["param_sum"], rtol=1e-5)
