@@ -44,6 +44,7 @@ from .flows import (
     AffineConstFlow,
     AffineCoupling,
     AffineCouplingBlock,
+    CCAffineConst,
     BatchNorm,
     Composite,
     Reverse,
@@ -555,6 +556,24 @@ def _glow_base(mod: dist_base.GlowBase, sd, p):
     return new
 
 
+def _uniform_gaussian(mod, sd, p):
+    # all four reference entries are buffers; scale is the only trainable
+    # one in spirit, but they transfer together (ref base.py:198-270)
+    new = mod.replace(scale=sd.get(p + "scale"))
+    for name in ("ind", "ind_", "inv_perm"):
+        if sd.has(p + name):
+            new = new.replace(**{name: sd.get(p + name).astype(jnp.int32)})
+    return new
+
+
+def _cc_affine_const(mod, sd, p):
+    new = mod.replace(s=sd.get(p + "s"), t=sd.get(p + "t"))
+    if sd.has(p + "s_cc"):
+        new = new.replace(s_cc=sd.get(p + "s_cc"),
+                          t_cc=sd.get(p + "t_cc"))
+    return new
+
+
 def _wrapper_prqct(mod, sd, p):
     return mod.replace(prqct=_convert(mod.prqct, sd, p + "prqct."))
 
@@ -595,6 +614,7 @@ _CONVERTERS = (
     (MADE, _made),
     (MaskedAffineFlow, _masked_affine),
     (ActNorm, _affine_const),
+    (CCAffineConst, _cc_affine_const),
     (AffineConstFlow, _affine_const),
     (Invertible1x1Conv, _lu_conv),
     (InvertibleAffine, _lu_conv),
@@ -635,6 +655,11 @@ _CONVERTERS = (
     (dist_base.DiagGaussian, _diag_gaussian),
     (dist_base.ClassCondDiagGaussian, _diag_gaussian),
     (dist_base.ConditionalDiagGaussian, _net_holder("context_encoder")),
+    (dist_base.GaussianMixture,
+     _named_arrays(("loc", "log_scale", "weight_scores"))),
+    (dist_base.GaussianPCA, _named_arrays(("loc", "W", "log_sigma"))),
+    (dist_base.AffineGaussian, _net_holder("transform")),
+    (dist_base.UniformGaussian, _uniform_gaussian),
     (encoder.NNDiagGaussian, _net_holder("net")),
     (encoder.ConstDiagGaussian, _named_arrays(("loc", "scale"))),
     (decoder.NNDiagGaussianDecoder, _net_holder("net")),

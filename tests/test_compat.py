@@ -397,3 +397,45 @@ def test_conv_residual_net_roundtrip(nf_ref):
         want = ref(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(np.asarray(net(jnp.asarray(x))), want,
                                atol=1e-5)
+
+
+def test_remaining_base_distributions_roundtrip(nf_ref):
+    """GaussianMixture / GaussianPCA / UniformGaussian / AffineGaussian
+    bases transfer with identical densities."""
+    import torch
+
+    g = torch.Generator().manual_seed(0)
+
+    def rand(m):
+        with torch.no_grad():
+            for p in m.parameters():
+                p.copy_(0.3 * torch.randn(p.shape, generator=g))
+        return m
+
+    x2 = np.random.default_rng(12).normal(size=(16, 2)).astype(np.float32)
+    x3 = np.random.default_rng(13).normal(size=(16, 3)).astype(np.float32)
+    x4 = np.random.default_rng(14).normal(size=(16, 4)).astype(np.float32)
+
+    cases = [
+        (rand(nf_ref.distributions.GaussianMixture(3, 2)),
+         dist.GaussianMixture.create(3, 2, key=KEY), x2),
+        (nf_ref.distributions.UniformGaussian(3, ind=[0]),
+         dist.UniformGaussian.create(3, ind=[0]), x3),
+        (rand(nf_ref.distributions.AffineGaussian((4,), affine_shape=(4,))),
+         dist.AffineGaussian.create((4,), affine_shape=(4,)), x4),
+    ]
+    for ref, ours, x in cases:
+        model = import_state_dict(ours, _sd(ref))
+        with torch.no_grad():
+            want = ref.log_prob(torch.from_numpy(x)).numpy()
+        got = np.asarray(model.log_prob(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # GaussianPCA: the reference's log_prob has a known density bug
+    # (docstring at nf_tpu/distributions/base.py:472), so compare params
+    ref = rand(nf_ref.distributions.GaussianPCA(4, latent_dim=2))
+    ours = import_state_dict(
+        dist.GaussianPCA.create(jax.random.PRNGKey(1), 4, latent_dim=2),
+        _sd(ref))
+    np.testing.assert_array_equal(np.asarray(ours.W),
+                                  ref.W.detach().numpy())
