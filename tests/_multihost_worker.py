@@ -33,6 +33,8 @@ def main():
     p.add_argument("--train-binary", action="store_true",
                    help="exercise `nf_tpu.train --distributed` instead of "
                         "the library-level step")
+    p.add_argument("--train-binary-image", action="store_true",
+                   help="same, via the image stack (tiny Glow)")
     args = p.parse_args()
 
     import jax
@@ -52,18 +54,25 @@ def main():
             platform="cpu")
         assert (pi, pc) == (args.process_id, args.num_processes)
 
-    if args.train_binary:
+    if args.train_binary or args.train_binary_image:
         # end-to-end CLI path: train.main re-enters initialize_distributed
         # (idempotent no-op) via --distributed and runs the sharded loop
         import jax.numpy as jnp
 
         from nf_tpu import train as train_bin
 
-        argv = ["--model", "realnvp", "--loss", "forward_kld",
-                "--target", "two_moons", "--iters", str(args.steps),
-                "--num_layers", "2", "--hidden", "16",
-                "--batch_size", str(args.global_batch),
-                "--log_every", "1"]
+        if args.train_binary_image:
+            argv = ["--model", "glow", "--iters", str(args.steps),
+                    "--levels", "1", "--num_layers", "1", "--hidden", "8",
+                    "--image_size", "8",
+                    "--batch_size", str(args.global_batch),
+                    "--log_every", "100"]
+        else:
+            argv = ["--model", "realnvp", "--loss", "forward_kld",
+                    "--target", "two_moons", "--iters", str(args.steps),
+                    "--num_layers", "2", "--hidden", "16",
+                    "--batch_size", str(args.global_batch),
+                    "--log_every", "1"]
         if args.num_processes > 1:
             argv.append("--distributed")
         state = train_bin.main(argv)

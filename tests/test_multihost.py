@@ -30,7 +30,8 @@ def _free_port():
 
 
 def _run_workers(tmp_path, num_processes, devices_per_process,
-                 hybrid=False, train_binary=False, timeout=420):
+                 hybrid=False, train_binary=False,
+                 train_binary_image=False, timeout=420):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devices_per_process}")
@@ -47,6 +48,8 @@ def _run_workers(tmp_path, num_processes, devices_per_process,
             cmd.append("--hybrid")
         if train_binary:
             cmd.append("--train-binary")
+        if train_binary_image:
+            cmd.append("--train-binary-image")
         procs.append(subprocess.Popen(cmd, cwd=REPO, env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
@@ -141,5 +144,18 @@ def test_train_binary_distributed(tmp_path):
     # identical across the two processes (replicated state)...
     assert multi[0]["param_sum"] == multi[1]["param_sum"]
     # ...and matching the single-process run within f32 reduction noise
+    np.testing.assert_allclose(multi[0]["param_sum"],
+                               single[0]["param_sum"], rtol=1e-5)
+
+
+def test_train_binary_distributed_image_stack(tmp_path):
+    """The image path of the train binary under --distributed: tiny Glow,
+    2 processes vs 1, identical final parameters."""
+    multi = _run_workers(tmp_path, num_processes=2, devices_per_process=2,
+                         train_binary_image=True, timeout=600)
+    single = _run_workers(tmp_path, num_processes=1,
+                          devices_per_process=4, train_binary_image=True,
+                          timeout=600)
+    assert multi[0]["param_sum"] == multi[1]["param_sum"]
     np.testing.assert_allclose(multi[0]["param_sum"],
                                single[0]["param_sum"], rtol=1e-5)
