@@ -31,7 +31,7 @@ def _free_port():
 
 def _run_workers(tmp_path, num_processes, devices_per_process,
                  hybrid=False, train_binary=False,
-                 train_binary_image=False, timeout=420):
+                 train_binary_image=False, timeout=900):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devices_per_process}")
@@ -152,7 +152,7 @@ def test_train_binary_distributed_image_stack(tmp_path):
     """The image path of the train binary under --distributed: tiny Glow,
     2 processes vs 1, identical final parameters."""
     multi = _run_workers(tmp_path, num_processes=2, devices_per_process=2,
-                         train_binary_image=True, timeout=600)
+                         train_binary_image=True, timeout=900)
     single = _run_workers(tmp_path, num_processes=1,
                           devices_per_process=4, train_binary_image=True,
                           timeout=600)
