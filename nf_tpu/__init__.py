@@ -9,6 +9,7 @@ pytree programs that jit-compile and shard over TPU meshes.
 
 from . import (
     compat,
+    compat_export,
     data,
     distributions,
     flows,
