@@ -152,6 +152,9 @@ def main():
         json.dump({"platform": jax.default_backend(),
                    "num_processes": args.num_processes,
                    "num_samples": args.num_samples,
+                   # Virtual devices oversubscribe the host: efficiency on a
+                   # 1-core machine measures functionality, not DCN scaling.
+                   "host_cpu_cores": os.cpu_count(),
                    "by_device_count": results}, f, indent=2)
     print("wrote", out)
 
