@@ -82,12 +82,14 @@ def main():
 
     results = {}
     configs = [
-        ("pallas_fwd_fused_bwd", True, True),
-        ("pallas_fwd_dense_bwd", True, False),
-        ("dense_fwd_dense_bwd", False, False),
+        ("pallas_fwd_analytic_bwd", True, True, "analytic"),
+        ("pallas_fwd_autodiff_bwd", True, True, "autodiff"),
+        ("pallas_fwd_dense_bwd", True, False, "analytic"),
+        ("dense_fwd_dense_bwd", False, False, "analytic"),
     ]
-    for name, use_pallas, fused_bwd in configs:
+    for name, use_pallas, fused_bwd, bwd_kernel in configs:
         splines_pallas.set_pallas_bwd_enabled(fused_bwd)
+        splines_pallas.set_pallas_bwd_kernel(bwd_kernel)
         chain = build(use_pallas)
         r1, r4 = chain(R), chain(4 * R)
         float(r1(x0, uw0, uh0, ud0))  # compile
@@ -103,6 +105,7 @@ def main():
         print(f"{name:24s} {dt*1e3:8.3f} ms/value+grad  "
               f"{gelem:7.2f} Gelem/s", flush=True)
     splines_pallas.set_pallas_bwd_enabled(True)
+    splines_pallas.set_pallas_bwd_kernel("analytic")
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "spline_bwd.json")

@@ -138,8 +138,45 @@ def test_fused_bwd_matches_dense_bwd(inverse):
         splines_pallas.set_pallas_bwd_enabled(True)
     for name, a, b in zip("wh d x".split(), g_fused, g_dense):
         scale = np.maximum(np.max(np.abs(np.asarray(b))), 1.0)
+        # 1e-4: the analytic transpose orders the f32 arithmetic differently
+        # from the dense VJP (documented parity bound, docs/kernels.md)
         np.testing.assert_allclose(np.asarray(a) / scale,
-                                   np.asarray(b) / scale, atol=5e-5,
+                                   np.asarray(b) / scale, atol=1e-4,
+                                   err_msg=f"grad {name}")
+        assert np.isfinite(np.asarray(a)).all()
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_analytic_bwd_matches_autodiff_bwd(inverse):
+    """The hand-derived analytic backward kernel (default) must agree with
+    the traced-``jax.vjp`` backward kernel bit-for-nearly-bit: same
+    recompute, different transpose derivation (implicit-root and
+    ``du/dtheta = wd*J`` identities vs mechanical autodiff)."""
+    from nf_tpu.ops import splines_pallas
+
+    shape, K = (777,), 7
+    uw, uh, ud = _params(jax.random.fold_in(KEY, 21), shape, K, K - 1)
+    x = 3.0 * jax.random.normal(jax.random.fold_in(KEY, 22), shape)
+    cty = jax.random.normal(jax.random.fold_in(KEY, 23), shape)
+    ctl = jax.random.normal(jax.random.fold_in(KEY, 24), shape)
+
+    def grads(mode):
+        def f(uw, uh, ud, x):
+            y, ld = spline(x, uw, uh, ud, inverse=inverse, tails="linear",
+                           tail_bound=2.0, use_pallas=True)
+            return jnp.sum(y * cty) + jnp.sum(ld * ctl)
+
+        try:
+            splines_pallas.set_pallas_bwd_kernel(mode)
+            return jax.grad(f, argnums=(0, 1, 2, 3))(uw, uh, ud, x)
+        finally:
+            splines_pallas.set_pallas_bwd_kernel("analytic")
+
+    for name, a, b in zip("wh d x".split(), grads("analytic"),
+                          grads("autodiff")):
+        scale = np.maximum(np.max(np.abs(np.asarray(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5,
                                    err_msg=f"grad {name}")
         assert np.isfinite(np.asarray(a)).all()
 
