@@ -14,24 +14,11 @@ import numpy as np
 import optax
 
 import nf_tpu.models as models
+from nf_tpu.data import procedural_image_classes
 from nf_tpu.utils.eval import bits_per_dim
 from nf_tpu.utils.preprocessing import Jitter, Scale
 
 from _utils import base_parser, out_path, train
-
-
-def procedural_cifar(key, n=2048, num_classes=10, size=32):
-    """Class-dependent colored blobs + texture, uint8 (stand-in data)."""
-    ky, kx, kn = jax.random.split(key, 3)
-    y = jax.random.randint(ky, (n,), 0, num_classes)
-    yy, xx = jnp.mgrid[0:size, 0:size] / size
-    phase = y[:, None, None] / num_classes * 2 * np.pi
-    base = 0.5 + 0.5 * jnp.sin(2 * np.pi * (xx + yy)[None] + phase)
-    rgb_shift = jnp.stack([jnp.cos(phase), jnp.sin(phase),
-                           jnp.cos(2 * phase)], 1)  # (n,3,1,1)
-    img = 0.6 * base[:, None] * (0.5 + 0.5 * rgb_shift)
-    img = img + 0.1 * jax.random.uniform(kn, (n, 3, size, size))
-    return (jnp.clip(img, 0, 1) * 255).astype(jnp.uint8), y
 
 
 def main():
@@ -50,8 +37,8 @@ def main():
         d = np.load(args.data)
         x_all, y_all = jnp.asarray(d["x"]), jnp.asarray(d["y"])
     else:
-        key, sub = jax.random.split(key)
-        x_all, y_all = procedural_cifar(sub)
+        x_u8, y_np = procedural_image_classes(args.seed, 2048)
+        x_all, y_all = jnp.asarray(x_u8), jnp.asarray(y_np)
     n = x_all.shape[0]
     scale, jitter = Scale(), Jitter()
 

@@ -93,16 +93,17 @@ def main():
           f"{err_art:.2e} vs the in-process executable")
 
     # throughput of the compiled sampler (amortized over many calls).
-    # Sync via a host scalar fetch: on the axon relay block_until_ready can
-    # be a no-op for never-fetched buffers (CLAUDE.md), and each call gets
-    # a distinct key so the relay's identical-call memoization can't serve
-    # cached results.
+    # Sync EVERY call via a host scalar fetch: on the axon relay
+    # block_until_ready can be a no-op for never-fetched buffers and
+    # independent unfetched dispatches need never execute (CLAUDE.md), so
+    # fetching only the last result would overstate the rate by up to
+    # n_calls x. Each call gets a distinct key so the relay's
+    # identical-call memoization can't serve cached results.
     float(sampler(sub)[1][0])  # warmup incl. any deferred compile
     t0 = time.perf_counter()
     n_calls = 20
     for i in range(n_calls):
-        out = sampler(jax.random.fold_in(sub, i))
-    float(out[1][0])
+        float(sampler(jax.random.fold_in(sub, i))[1][0])
     dt = (time.perf_counter() - t0) / n_calls
     print(f"compiled sampler: {args.serve_batch/dt:,.0f} samples/s "
           f"({dt*1e3:.2f} ms/call incl. dispatch)")

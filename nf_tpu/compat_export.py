@@ -93,9 +93,13 @@ def _e_masked_linear(mod, out, p):
 
 
 def _e_mlp(mod, out, p):
-    # plain reference MLP: Linear at Sequential indices 0, 2, 4, ...
+    # reference MLP: Linear at Sequential indices 0, 2, 4, ...; a dropout
+    # layer is inserted BEFORE the final Linear (ref nets/mlp.py:34-36),
+    # shifting it to an odd index — mirror that
+    last = len(mod.linears) - 1
     for i, l in enumerate(mod.linears):
-        _e_linear(l, out, f"{p}net.{2 * i}.")
+        idx = 2 * i + (1 if mod.dropout is not None and i == last else 0)
+        _e_linear(l, out, f"{p}net.{idx}.")
 
 
 def _e_convnet2d(mod, out, p):

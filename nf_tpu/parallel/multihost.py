@@ -58,7 +58,7 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     Idempotent: calling again after initialization is a no-op returning the
     current coordinates.
     """
-    if jax._src.distributed.global_state.client is not None:  # already up
+    if jax.distributed.is_initialized():  # already up
         return jax.process_index(), jax.process_count()
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")

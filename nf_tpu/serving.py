@@ -200,7 +200,8 @@ class BucketedFn:
     Serving traffic rarely arrives in one fixed batch size, and XLA
     executables are shape-specialized. This wrapper compiles each bucket
     once; a request of ``n`` rows pads to the smallest bucket >= n (edge
-    rows repeat row 0 — harmless, they are sliced off) and returns exactly
+    padding repeats the LAST row — harmless, the pad rows are sliced off;
+    safe because every served graph is row-independent) and returns exactly
     ``n`` results. Worst-case wasted compute with power-of-two buckets is
     < 2x, and there are NO serve-time recompiles.
     """

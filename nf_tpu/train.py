@@ -152,7 +152,12 @@ def train_image(cfg: TrainConfig):
         restored, step = ckpt.restore(state)
         if restored is not None:
             state, start_step = restored, int(step)
-            print(f"resumed from step {start_step}")
+            if is_main:
+                print(f"resumed from step {start_step}")
+    # Re-key the host data/jitter stream on the resume step so a resumed
+    # run draws FRESH batches instead of replaying the sequence already
+    # trained on (the 2D path does the same via fold_in(key, start_step)).
+    rng = np.random.default_rng([cfg.seed + 1, start_step])
     logger = MetricLogger(cfg.log_path) if cfg.log_path else None
 
     step_fn = make_forward_kld_step(
@@ -212,10 +217,11 @@ def train_image(cfg: TrainConfig):
                 if logger is not None:
                     logger.log(it, loss=loss_f, bits_per_dim=bpd,
                                it_per_s=rate, **extra)
-        if ckpt is not None and is_main \
-                and (it + 1) % cfg.checkpoint_every == 0:
+        # orbax saves are COLLECTIVE in multiprocess runs (global arrays are
+        # not fully addressable from one process): every process must call.
+        if ckpt is not None and (it + 1) % cfg.checkpoint_every == 0:
             ckpt.save(it + 1, state, wait=False)
-    if ckpt is not None and is_main:
+    if ckpt is not None:
         ckpt.save(cfg.iters, state)
         ckpt.wait_until_finished()
     if logger is not None and is_main:
@@ -360,10 +366,10 @@ def main(argv=None):
                       flush=True)
                 if logger is not None:
                     logger.log(it, loss=loss_f, it_per_s=rate)
-        if ckpt is not None and is_main \
-                and (it + 1) % cfg.checkpoint_every == 0:
+        # collective in multiprocess runs — every process calls save
+        if ckpt is not None and (it + 1) % cfg.checkpoint_every == 0:
             ckpt.save(it + 1, state, wait=False)  # overlap write with steps
-    if ckpt is not None and is_main:
+    if ckpt is not None:
         ckpt.save(cfg.iters, state)
         ckpt.wait_until_finished()
     if logger is not None and is_main:

@@ -183,6 +183,36 @@ def test_export_glow_multiscale_to_reference(nf_ref):
     np.testing.assert_allclose(want, got, rtol=1e-4, atol=2e-3)
 
 
+def test_export_mlp_with_dropout_to_reference(nf_ref):
+    """The reference inserts nn.Dropout BEFORE the final Linear
+    (ref nets/mlp.py:34-36), shifting it to an odd Sequential index — the
+    exporter must mirror that or strict load fails."""
+    import torch
+
+    model = _perturb(nf_tpu.NormalizingFlow.create(
+        dist.DiagGaussian.create(2),
+        [nff.MaskedAffineFlow.create(
+            jnp.array([1.0, 0.0]),
+            t=MLP.create(KEY, [2, 16, 16, 2], dropout=0.1),
+            s=MLP.create(jax.random.fold_in(KEY, 1), [2, 16, 16, 2],
+                         dropout=0.1))]))
+    ref = _load_into(
+        nf_ref.NormalizingFlow(
+            nf_ref.distributions.DiagGaussian(2),
+            [nf_ref.flows.MaskedAffineFlow(
+                torch.tensor([1.0, 0.0]),
+                t=nf_ref.nets.MLP([2, 16, 16, 2], dropout=0.1),
+                s=nf_ref.nets.MLP([2, 16, 16, 2], dropout=0.1))]),
+        export_state_dict(model))
+    ref.eval()  # dropout off; our log_prob is keyless -> dropout off too
+
+    x = np.random.default_rng(3).normal(size=(16, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.log_prob(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.log_prob(jnp.asarray(x)))
+    np.testing.assert_allclose(want, got, atol=2e-4)
+
+
 def test_export_import_identity(nf_ref):
     """export -> import is the identity on the parameters."""
     model = _perturb(_build_our_realnvp())

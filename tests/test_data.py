@@ -106,3 +106,25 @@ def test_load_npz_images(tmp_path):
     x, y = load_npz_images(p)
     assert x.dtype == np.float32 and abs(float(x[0, 0, 0, 0]) - 0.5) < 1e-6
     assert (y == np.arange(4)).all()
+
+
+def test_glow_ab_generator_bit_identical_to_data_module():
+    """benchmarks/glow_bpd_ab.py keeps a numpy copy of the procedural image
+    generator so its torch phase never imports the jax-latched stack; the
+    A/B's "identical data" evidence rests on that copy staying bit-identical
+    to nf_tpu.data.procedural_image_classes — enforce it."""
+    import importlib.util
+    import os
+
+    from nf_tpu.data import procedural_image_classes
+
+    spec = importlib.util.spec_from_file_location(
+        "glow_bpd_ab", os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "benchmarks", "glow_bpd_ab.py"))
+    ab = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ab)
+
+    seed, n = 7, 64
+    x_ab, y_ab = ab.procedural_cifar_np(np.random.default_rng(seed), n)
+    x_dm, y_dm = procedural_image_classes(seed, n)
+    assert (x_ab == x_dm).all() and (y_ab == y_dm).all()

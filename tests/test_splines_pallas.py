@@ -136,7 +136,7 @@ def test_fused_bwd_matches_dense_bwd(inverse):
         g_dense = jax.grad(f, argnums=(0, 1, 2, 3))(uw, uh, ud, x)
     finally:
         splines_pallas.set_pallas_bwd_enabled(True)
-    for name, a, b in zip("wh d x".split(), g_fused, g_dense):
+    for name, a, b in zip("w h d x".split(), g_fused, g_dense):
         scale = np.maximum(np.max(np.abs(np.asarray(b))), 1.0)
         # 1e-4: the analytic transpose orders the f32 arithmetic differently
         # from the dense VJP (documented parity bound, docs/kernels.md)
@@ -172,7 +172,7 @@ def test_analytic_bwd_matches_autodiff_bwd(inverse):
         finally:
             splines_pallas.set_pallas_bwd_kernel("analytic")
 
-    for name, a, b in zip("wh d x".split(), grads("analytic"),
+    for name, a, b in zip("w h d x".split(), grads("analytic"),
                           grads("autodiff")):
         scale = np.maximum(np.max(np.abs(np.asarray(b))), 1.0)
         np.testing.assert_allclose(np.asarray(a) / scale,
@@ -209,7 +209,7 @@ def test_fused_bwd_matches_dense_bwd_kmajor(inverse):
         g_dense = jax.grad(f, argnums=(0, 1, 2, 3))(uw, uh, ud, x)
     finally:
         splines_pallas.set_pallas_bwd_enabled(True)
-    for name, a, b in zip("wh d x".split(), g_fused, g_dense):
+    for name, a, b in zip("w h d x".split(), g_fused, g_dense):
         scale = np.maximum(np.max(np.abs(np.asarray(b))), 1.0)
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=5e-5,
