@@ -16,9 +16,11 @@ from nf_tpu.parallel import init_train_state, make_forward_kld_step
 from nf_tpu.utils.profiling import enable_compilation_cache
 
 
-def run(use_pallas, fused_bwd=True, batch=64, L=2, K=4, hidden=64, reps=8):
+def run(use_pallas, fused_bwd=True, bwd_kernel="analytic", batch=64, L=2,
+        K=4, hidden=64, reps=8):
     splines.set_pallas_enabled(use_pallas)
     splines_pallas.set_pallas_bwd_enabled(fused_bwd)
+    splines_pallas.set_pallas_bwd_kernel(bwd_kernel)
     key = jax.random.PRNGKey(0)
     model = models.build_image_nsf(key, input_shape=(3, 32, 32), L=L, K=K,
                                    hidden_channels=hidden)
@@ -30,18 +32,24 @@ def run(use_pallas, fused_bwd=True, batch=64, L=2, K=4, hidden=64, reps=8):
     state, loss = step(state, x)
     float(loss)  # host fetch: block_until_ready can no-op on the relay
     dt = _two_point_steps(lambda s: step(s, x), state, reps)
-    name = ("pallas" if fused_bwd else "pallas_dense_bwd") if use_pallas \
-        else "dense"
+    if use_pallas:
+        name = ("pallas" if bwd_kernel == "analytic"
+                else "pallas_autodiff_bwd") if fused_bwd \
+            else "pallas_dense_bwd"
+    else:
+        name = "dense"
     record(f"image_nsf_l2_k4_train_step_{name}", batch / dt, "images/s",
            ms_per_step=dt * 1e3)
     splines.set_pallas_enabled(True)
     splines_pallas.set_pallas_bwd_enabled(True)
+    splines_pallas.set_pallas_bwd_kernel("analytic")
 
 
 def main():
     enable_compilation_cache()
     print("backend:", jax.default_backend(), flush=True)
-    run(True, fused_bwd=True)    # fused fwd + fused bwd kernels
+    run(True, fused_bwd=True)    # fused fwd + analytic fused bwd (default)
+    run(True, fused_bwd=True, bwd_kernel="autodiff")  # round-2 vjp kernel
     run(True, fused_bwd=False)   # round-1: fused fwd, dense one-hot bwd
     run(False)                   # all-dense one-hot path
 
