@@ -18,4 +18,6 @@ from .splines import (
 from .splines_pallas import (
     fused_unconstrained_rqs,
     fused_unconstrained_rqs_kmajor,
+    set_pallas_bwd_enabled,
+    set_pallas_bwd_kernel,
 )
