@@ -315,6 +315,53 @@ def bench_hais(chains=1 << 13, n_anneal=16, reps=4):
            chains=chains, anneal_steps=n_anneal)
 
 
+def bench_residual_train_step(batch=1 << 9, K=16, hidden=128, reps=4):
+    """Residual-flow training step, full reference recipe
+    (``examples/residual.ipynb`` cells 1,3: K=16 iResBlocks over
+    [2,128,128,2] Lipschitz MLPs, forward KLD with the stochastic log-det
+    estimator, AdamW 3e-4/wd 1e-5, ``update_lipschitz(50)`` power
+    iterations after the update) — all inside one jit, with the power-
+    iteration buffer updates threaded through the step state."""
+    import optax
+
+    from nf_tpu.parallel.train import apply_post_update
+    from nf_tpu.utils.module import combine, partition, partition_arrays
+    from nf_tpu.utils.optim import update_lipschitz
+
+    model = models.build_residual(jax.random.PRNGKey(0), K=K, hidden=hidden,
+                                  n_hidden_layers=2)
+    kd, ki = jax.random.split(jax.random.PRNGKey(1))
+    x = 0.7 * jax.random.normal(kd, (batch, 2)) \
+        + jnp.asarray([0.5, 0.25])  # two-moons-scale batch
+    model = model.init_from_data(x, key=ki)
+    params, static = partition(model)
+    buffers, config = partition_arrays(static)
+    opt = optax.adamw(3e-4, weight_decay=1e-5)
+
+    @jax.jit
+    def step(state):
+        params, buffers, opt_state, key = state
+        key, sub = jax.random.split(key)
+
+        def loss_fn(p):
+            m = combine(combine(p, buffers), config)
+            return m.forward_kld(x, key=sub)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params, buffers = apply_post_update(
+            params, buffers, config, lambda m: update_lipschitz(m, 50))
+        return (params, buffers, opt_state, key), loss
+
+    state = (params, buffers, opt.init(params), jax.random.PRNGKey(2))
+    state, loss = step(state)
+    _force(loss)
+    dt = _two_point_steps(step, state, reps)
+    record(f"residual_k{K}_train_step", batch / dt, "samples/s",
+           loss=float(loss), note="incl. update_lipschitz(50) per step")
+
+
 def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4,
                     mixed_precision=False):
     import optax
@@ -378,6 +425,7 @@ def main():
     bench_maf_logprob()
     bench_ar_nsf_sampling()
     bench_hais()
+    bench_residual_train_step()
     bench_glow_step()
     bench_glow_step(mixed_precision=True)
     bench_image_nsf_step()

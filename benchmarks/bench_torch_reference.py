@@ -105,6 +105,38 @@ def bench_hais(chains=1 << 13, n_anneal=16):
     record("hais_16step_hmc_sampling", chains / dt, "chains/s")
 
 
+def bench_residual_train_step(batch=1 << 9, K=16, hidden=128):
+    """Residual-flow training step, full reference recipe
+    (examples/residual.ipynb cells 2,5: K=16 Residual(LipschitzMLP
+    [2,128,128,2], L=0.9) + ActNorm, forward KLD, Adam 3e-4/wd 1e-5,
+    update_lipschitz(50) after every step)."""
+    torch.manual_seed(0)
+    flows = []
+    for _ in range(K):
+        net = nf.nets.LipschitzMLP([2, hidden, hidden, 2], init_zeros=True,
+                                   lipschitz_const=0.9)
+        flows += [nf.flows.Residual(net, reduce_memory=True),
+                  nf.flows.ActNorm(2)]
+    model = nf.NormalizingFlow(nf.distributions.DiagGaussian(
+        2, trainable=False), flows)
+    x = 0.7 * torch.randn(batch, 2) + torch.tensor([0.5, 0.25])
+    model.log_prob(x)  # ActNorm data-dependent init
+    optimizer = torch.optim.Adam(model.parameters(), lr=3e-4,
+                                 weight_decay=1e-5)
+
+    def one_step():
+        optimizer.zero_grad()
+        loss = model.forward_kld(x)
+        if ~(torch.isnan(loss) | torch.isinf(loss)):
+            loss.backward()
+            optimizer.step()
+        nf.utils.update_lipschitz(model, 50)
+
+    dt = _time_loop(one_step, iters=2)
+    record(f"residual_k{K}_train_step", batch / dt, "samples/s",
+           note="incl. update_lipschitz(50) per step")
+
+
 def bench_realnvp_roundtrip(batch=1 << 16, K=16, hidden=128):
     """EQUAL-batch counterpart of bench.py's headline (B = 65536 on both
     sides now; the round-1 torch column ran B=4096)."""
@@ -149,6 +181,7 @@ def main():
     bench_maf_logprob()
     bench_ar_nsf_sampling()
     bench_hais()
+    bench_residual_train_step()
 
     if os.path.exists(RESULTS_PATH):
         with open(RESULTS_PATH) as f:
