@@ -56,7 +56,8 @@ LR, WD = 1e-3, 1e-5
 N_TRAIN, N_TEST = 4096, 512
 BATCH_SEED, DATA_SEED = 123, 7
 EVAL_SEEDS = (0, 1)  # two dequantization draws of the eval set
-EVAL_ITERS = (50, 100, 250, 500, 750, 1000, 1500, 2000)
+EVAL_ITERS = (50, 100, 250, 500, 750, 1000, 1500, 2000, 2500, 3000, 4000,
+              5000, 6000, 8000, 10000, 12000, 16000, 20000)
 
 
 def procedural_cifar_np(rng, n, num_classes=NUM_CLASSES, size=32):
@@ -87,23 +88,23 @@ def batch_indices(n_iters, n=N_TRAIN, batch=BATCH, seed=BATCH_SEED):
     return [rng.integers(0, n, size=batch) for _ in range(n_iters)]
 
 
-def cmd_data(_args):
+def cmd_data(args):
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(DATA_SEED)
-    x_tr, y_tr = procedural_cifar_np(rng, N_TRAIN)
-    x_te, y_te = procedural_cifar_np(rng, N_TEST)
+    x_tr, y_tr = procedural_cifar_np(rng, args.n_train)
+    x_te, y_te = procedural_cifar_np(rng, args.n_test)
     arrays = {"x_train": x_tr, "y_train": y_tr,
               "x_test": x_te, "y_test": y_te}
     for s in EVAL_SEEDS:
         arrays[f"x_test_deq{s}"] = dequantize(
             x_te, np.random.default_rng(1000 + s))
-    np.savez_compressed(DATA_NPZ, **arrays)
-    print("wrote", DATA_NPZ,
+    np.savez_compressed(args.npz, **arrays)
+    print("wrote", args.npz,
           {k: (v.shape, str(v.dtype)) for k, v in arrays.items()})
 
 
-def load_data():
-    d = np.load(DATA_NPZ)
+def load_data(path=DATA_NPZ):
+    d = np.load(path)
     return d
 
 
@@ -121,7 +122,7 @@ def cmd_torch(args):
 
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 1)
-    d = load_data()
+    d = load_data(args.npz)
     x_tr, y_tr = d["x_train"], d["y_train"]
 
     # Same architecture as reference examples/glow.ipynb cell 2 (L levels
@@ -176,7 +177,7 @@ def cmd_torch(args):
         model.train()
 
     jitter_rng = np.random.default_rng(args.train_jitter_seed)
-    sched = batch_indices(args.iters)
+    sched = batch_indices(args.iters, n=len(x_tr))
     t0 = time.time()
     for it, idx in enumerate(sched):
         x = torch.from_numpy(dequantize(x_tr[idx], jitter_rng))
@@ -208,7 +209,7 @@ def cmd_jax(args):
     from nf_tpu.models import build_glow_multiscale
     from nf_tpu.utils.module import combine, partition
 
-    d = load_data()
+    d = load_data(args.npz)
     x_tr, y_tr = d["x_train"], d["y_train"]
 
     model = build_glow_multiscale(
@@ -221,7 +222,7 @@ def cmd_jax(args):
     model = dataclasses.replace(model, transform=None)
 
     jitter_rng = np.random.default_rng(args.train_jitter_seed)
-    sched = batch_indices(args.iters)
+    sched = batch_indices(args.iters, n=len(x_tr))
     model = model.init_from_data(
         jnp.asarray(dequantize(x_tr[sched[0]], np.random.default_rng(
             args.train_jitter_seed))),
@@ -280,14 +281,15 @@ def cmd_jax(args):
 
 
 # --------------------------------------------------------------- report ---
-def cmd_report(_args):
+def cmd_report(args):
     import glob
 
+    tag = args.tag  # "" = the original 4096-image run; "50k" = scaled run
     rows = []
-    # all torch runs + all jax seed runs (glow_ab_jax*.jsonl): the spread
-    # over model-init seeds IS the dominant MC-error term
-    for p in sorted(glob.glob(os.path.join(OUT, "glow_ab_torch*.jsonl"))
-                    + glob.glob(os.path.join(OUT, "glow_ab_jax*.jsonl"))):
+    # all torch runs + all jax seed runs (glow_ab{tag}_jax*.jsonl): the
+    # spread over model-init seeds IS the dominant MC-error term
+    for p in sorted(glob.glob(os.path.join(OUT, f"glow_ab{tag}_torch*.jsonl"))
+                    + glob.glob(os.path.join(OUT, f"glow_ab{tag}_jax*.jsonl"))):
         with open(p) as f:
             rows += [json.loads(line) for line in f if line.strip()]
     by = {}
@@ -320,7 +322,7 @@ def cmd_report(_args):
         lines.append(f"| {it} | {cells['torch']} | {cells['jax']} "
                      f"| {gap_c} | {mc} |")
     report = "\n".join(lines)
-    path = os.path.join(OUT, "glow_ab_report.md")
+    path = os.path.join(OUT, f"glow_ab{tag}_report.md")
     with open(path, "w") as f:
         f.write("# Glow bits/dim A/B (same data, same recipe)\n\n"
                 + report + "\n")
@@ -331,7 +333,10 @@ def cmd_report(_args):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
-    sub.add_parser("data")
+    sd = sub.add_parser("data")
+    sd.add_argument("--n-train", type=int, default=N_TRAIN)
+    sd.add_argument("--n-test", type=int, default=N_TEST)
+    sd.add_argument("--npz", type=str, default=DATA_NPZ)
     for fw in ("torch", "jax"):
         sp = sub.add_parser(fw)
         sp.add_argument("--iters", type=int, default=1000)
@@ -340,9 +345,12 @@ def main():
         sp.add_argument("--model-seed", type=int, default=0,
                         help="parameter-init seed (jax side); vary to "
                              "measure the init-variance MC band")
+        sp.add_argument("--npz", type=str, default=DATA_NPZ)
         sp.add_argument("--out", type=str,
                         default=os.path.join(OUT, f"glow_ab_{fw}.jsonl"))
-    sub.add_parser("report")
+    sr = sub.add_parser("report")
+    sr.add_argument("--tag", type=str, default="",
+                    help='"" = original 4096-image files; "50k" = scaled run')
     args = p.parse_args()
     {"data": cmd_data, "torch": cmd_torch, "jax": cmd_jax,
      "report": cmd_report}[args.cmd](args)

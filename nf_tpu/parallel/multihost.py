@@ -130,20 +130,25 @@ def process_slice(global_batch: int,
     return slice(pi * local, (pi + 1) * local)
 
 
-def host_local_to_global(mesh: Mesh, local_batch, axis: str = "data"):
+def host_local_to_global(mesh: Mesh, local_batch, axis: str = "data",
+                         dim: int = 0):
     """Assemble per-process local batch slices into global jax.Arrays
-    sharded on the leading dim over ``axis``.
+    sharded on dim ``dim`` (default the leading one) over ``axis``.
 
     Each process passes only its own rows (in process order); the result is
-    a global array of shape ``(sum of local rows, ...)`` addressable by the
-    jitted SPMD program. Single-process: equivalent to a sharded
-    ``device_put``.
+    a global array whose ``dim`` extent is ``local rows x process_count``,
+    addressable by the jitted SPMD program. ``dim=1`` is the microbatched
+    gradient-accumulation layout ``(accum_steps, micro, ...)`` where the
+    micro dim is the sharded one (see ``parallel.train.reshape_for_accum``).
+    Single-process: equivalent to a sharded ``device_put``.
     """
     def put(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        global_shape = list(x.shape)
+        global_shape[dim] *= jax.process_count()
         return jax.make_array_from_process_local_data(
-            data_sharding(mesh, x.ndim, axis=axis), x, global_shape)
+            data_sharding(mesh, x.ndim, axis=axis, dim=dim), x,
+            tuple(global_shape))
 
     return jax.tree_util.tree_map(put, local_batch)
 

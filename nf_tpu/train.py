@@ -165,7 +165,7 @@ def train_image(cfg: TrainConfig):
         ema_decay=cfg.ema_decay if use_ema else None,
         skip_nonfinite=cfg.skip_nonfinite)
 
-    from .parallel.train import ema_model, model_of_state, reshape_for_accum
+    from .parallel.train import ema_model, model_of_state
 
     def eval_bpd(state, use_ema_params=False):
         if not len(x_test):
@@ -182,23 +182,10 @@ def train_image(cfg: TrainConfig):
     for it in range(start_step, cfg.iters):
         batch = host_batch()
         batch = batch if cfg.class_cond else batch[0]
-        if multiproc:
-            # host_batch draws the SAME seeded global batch on every
-            # process; assemble each process's slice into the global array
-            from .parallel.multihost import (
-                host_local_to_global,
-                process_slice,
-            )
-
-            sl = process_slice(cfg.batch_size)
-            batch = jax.tree_util.tree_map(
-                lambda a: np.asarray(a)[sl], batch)
-            batch = host_local_to_global(mesh, batch)
-        elif cfg.accum_steps > 1:
-            batch = shard_batch(mesh, reshape_for_accum(
-                batch, cfg.accum_steps), accum=True)
-        else:
-            batch = shard_batch(mesh, batch)
+        # host_batch draws the SAME seeded global batch on every process;
+        # _shard_host_batch slices + assembles it (and microbatches it when
+        # accum_steps > 1, in any process count)
+        batch = _shard_host_batch(mesh, batch, cfg, multiproc)
         state, loss = step_fn(state, batch)
         if it % cfg.log_every == 0 or it == cfg.iters - 1:
             loss_f = float(loss)
@@ -240,11 +227,36 @@ def _init_distributed(cfg: TrainConfig):
         from .parallel.multihost import initialize_distributed
 
         initialize_distributed()
-        if cfg.accum_steps > 1:
-            raise SystemExit(
-                "--accum_steps with --distributed is not wired yet: "
-                "microbatch reshape happens before the per-process split")
     return jax.process_index() == 0
+
+
+def _shard_host_batch(mesh, batch, cfg, multiproc: bool):
+    """Place a host-drawn GLOBAL batch on the mesh, honoring both
+    ``--accum_steps`` (microbatch reshape, micro dim sharded) and
+    ``--distributed`` (each process materialises only its slice of the
+    sharded dim and assembles the global array).
+
+    Every process must have drawn the SAME global batch (same seeded host
+    RNG), so slicing by process index reassembles into a bit-identical
+    global array — the per-process data path of ``parallel/multihost.py``.
+    """
+    import numpy as np
+
+    from .parallel.train import reshape_for_accum
+
+    accum = cfg.accum_steps > 1
+    if accum:
+        batch = reshape_for_accum(batch, cfg.accum_steps)
+    if not multiproc:
+        return shard_batch(mesh, batch, accum=accum)
+    from .parallel.multihost import host_local_to_global, process_slice
+
+    dim = 1 if accum else 0
+    sl = process_slice(cfg.batch_size // (cfg.accum_steps if accum else 1))
+    take = (lambda a: np.asarray(a)[:, sl]) if accum \
+        else (lambda a: np.asarray(a)[sl])
+    return host_local_to_global(mesh, jax.tree_util.tree_map(take, batch),
+                                dim=dim)
 
 
 def main(argv=None):
@@ -314,7 +326,7 @@ def main(argv=None):
         def run_step(state, key):
             return step_fn(state, key)
     else:
-        from .parallel.train import model_of_state, reshape_for_accum
+        from .parallel.train import model_of_state
 
         target = model_of_state(state, static).p
         mle_step = make_forward_kld_step(
@@ -330,21 +342,7 @@ def main(argv=None):
             # every process draws the SAME global batch (same key), so the
             # per-process slice assembles into a consistent global array
             x = target.sample(k1, cfg.batch_size)
-            if multiproc:
-                import numpy as np
-
-                from .parallel.multihost import (
-                    host_local_to_global,
-                    process_slice,
-                )
-
-                x = host_local_to_global(
-                    mesh, np.asarray(x)[process_slice(cfg.batch_size)])
-            elif cfg.accum_steps > 1:
-                x = shard_batch(mesh, reshape_for_accum(
-                    x, cfg.accum_steps), accum=True)
-            else:
-                x = shard_batch(mesh, x)
+            x = _shard_host_batch(mesh, x, cfg, multiproc)
             if is_residual:
                 return mle_step(state, x, k2)
             return mle_step(state, x)

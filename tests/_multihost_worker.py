@@ -35,6 +35,8 @@ def main():
                         "the library-level step")
     p.add_argument("--train-binary-image", action="store_true",
                    help="same, via the image stack (tiny Glow)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation in the train-binary paths")
     args = p.parse_args()
 
     import jax
@@ -73,6 +75,8 @@ def main():
                     "--num_layers", "2", "--hidden", "16",
                     "--batch_size", str(args.global_batch),
                     "--log_every", "1"]
+        if args.accum_steps > 1:
+            argv += ["--accum_steps", str(args.accum_steps)]
         if args.num_processes > 1:
             argv.append("--distributed")
         state = train_bin.main(argv)
