@@ -35,8 +35,8 @@ def main():
                        step_size=[args.step_size] * 2, log_mass=[0.0] * 2)
 
     key = jax.random.PRNGKey(args.seed)
-    samples, log_w = jax.jit(
-        lambda k: hais.sample(k, args.num_samples))(key)
+    samples, log_w, acceptance = jax.jit(
+        lambda k: hais.sample_with_stats(k, args.num_samples))(key)
     ess = float(effective_sample_size(log_w))
     w = jnp.exp(log_w - jnp.max(log_w))
     w = w / jnp.sum(w)
@@ -46,6 +46,16 @@ def main():
     print("weighted mean:", np.asarray(mean))
     print("log Z estimate:",
           float(jax.nn.logsumexp(log_w) - np.log(args.num_samples)))
+    acceptance = np.asarray(acceptance)
+    print(f"HMC acceptance over the {len(acceptance)} annealing layers: "
+          f"mean {acceptance.mean():.3f}, "
+          f"min {acceptance.min():.3f} (layer {int(acceptance.argmin())}), "
+          f"max {acceptance.max():.3f}")
+    # acceptance curve along the annealing schedule (first-class MCMC
+    # observability — the reference computes the accept mask but drops it)
+    with open(out_path("hais_acceptance.csv"), "w") as f:
+        f.write("layer,acceptance\n")
+        f.writelines(f"{i},{a:.6f}\n" for i, a in enumerate(acceptance))
     if args.plot:
         plot_hist2d(samples, out_path("hais_samples.png"),
                     title="HAIS samples (unweighted)")

@@ -67,10 +67,21 @@ def main():
     model, _ = train(model, loss, args)
 
     key, sub = jax.random.split(key)
-    z, log_q = model.sample(sub, 8192)
+    z, log_q, acceptance = jax.jit(
+        lambda k: model.sample_with_mcmc_stats(k, 8192))(sub)
     r = jnp.linalg.norm(z, axis=-1)
     print("sample mean |z| (TwoModes ring radius ~2):",
           float(jnp.mean(r)))
+    # per-HMC-layer acceptance (first-class MCMC observability): each entry
+    # is the layer's MH-correction acceptance rate over the 8192 chains
+    import numpy as np
+
+    rates = [float(np.asarray(a).mean()) for a in acceptance]
+    print("HMC layer acceptance rates:",
+          ", ".join(f"{r_:.3f}" for r_ in rates))
+    with open(out_path("snf_acceptance.csv"), "w") as f:
+        f.write("mcmc_layer,acceptance\n")
+        f.writelines(f"{i},{a:.6f}\n" for i, a in enumerate(rates))
     if args.plot:
         plot_hist2d(z, out_path("snf_samples.png"),
                     title="SNF samples (coupling + HMC layers)")

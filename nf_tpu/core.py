@@ -96,6 +96,30 @@ class NormalizingFlow(Module):
             log_q = log_q - log_det
         return z, log_q
 
+    def sample_with_mcmc_stats(self, key, num_samples=1, context=None):
+        """:meth:`sample` plus per-stochastic-layer acceptance rates.
+
+        Returns ``(z, log_q, acceptance)`` where ``acceptance`` is a tuple
+        with one entry per MCMC layer in chain order (an array of per-MH-
+        step mean acceptance rates — see ``forward_with_stats`` on
+        :class:`~nf_tpu.flows.MetropolisHastings` /
+        :class:`~nf_tpu.flows.HamiltonianMonteCarlo`). Deterministic flows
+        contribute nothing. The reference's SNF layers compute the accept
+        mask (ref ``flows/stochastic.py:41,88-96``) but never surface it;
+        here it is a first-class output, psum-able across a mesh."""
+        keys = _split_keys(key, len(self.flows) + 1)
+        z, log_q = self.q0.forward(keys[0], num_samples)
+        acceptance = []
+        for flow, k in zip(self.flows, keys[1:]):
+            if hasattr(flow, "forward_with_stats"):
+                z, log_det, acc = flow.forward_with_stats(
+                    z, context=context, key=k)
+                acceptance.append(acc)
+            else:
+                z, log_det = flow.forward(z, context=context, key=k)
+            log_q = log_q - log_det
+        return z, log_q, tuple(acceptance)
+
     def reverse_kld(self, key, num_samples=1, beta=1.0, score_fn=True,
                     context=None):
         """VI loss: E_q[log q - beta*log p] with optional annealing and

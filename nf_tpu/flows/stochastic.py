@@ -31,7 +31,13 @@ class MetropolisHastings(Flow):
     def create(cls, target, proposal, steps):
         return cls(target=target, proposal=proposal, steps=steps)
 
-    def forward(self, z, context=None, key=None):
+    def forward_with_stats(self, z, context=None, key=None):
+        """Like :meth:`forward`, additionally returning the per-MH-step mean
+        acceptance rate over the chain batch, shape ``(steps,)`` — the
+        first-class MCMC observability the reference computes but discards
+        (its accept mask at ``stochastic.py:41`` is never surfaced). Inside
+        a sharded sampler the caller pmeans this over the mesh
+        (:func:`nf_tpu.parallel.sampling.make_sharded_sampler`)."""
         if key is None:
             raise ValueError("MetropolisHastings requires an RNG key.")
         num_samples = z.shape[0]
@@ -53,7 +59,12 @@ class MetropolisHastings(Flow):
             return (z, log_det, log_p), jnp.mean(accept.astype(z.dtype))
 
         keys = jax.random.split(key, self.steps)
-        (z, log_det, _), _ = jax.lax.scan(body, (z, log_det0, log_p), keys)
+        (z, log_det, _), acceptance = jax.lax.scan(
+            body, (z, log_det0, log_p), keys)
+        return z, log_det, acceptance
+
+    def forward(self, z, context=None, key=None):
+        z, log_det, _ = self.forward_with_stats(z, context=context, key=key)
         return z, log_det
 
     def inverse(self, z, context=None, key=None):
@@ -84,7 +95,11 @@ class HamiltonianMonteCarlo(Flow):
             grad = jnp.clip(grad, -self.max_abs_grad, self.max_abs_grad)
         return grad
 
-    def forward(self, z, context=None, key=None):
+    def forward_with_stats(self, z, context=None, key=None):
+        """Like :meth:`forward`, additionally returning the mean acceptance
+        rate of the single MH correction over the chain batch, shape
+        ``(1,)`` (one entry per MH decision, matching the per-step layout of
+        :meth:`MetropolisHastings.forward_with_stats`)."""
         if key is None:
             raise ValueError("HamiltonianMonteCarlo requires an RNG key.")
         k_mom, k_acc = jax.random.split(key)
@@ -110,7 +125,12 @@ class HamiltonianMonteCarlo(Flow):
         uniforms = jax.random.uniform(k_acc, probabilities.shape, z.dtype)
         mask = uniforms < probabilities
         z_out = jnp.where(mask[:, None], z_new, z)
-        return z_out, self.target.log_prob(z) - self.target.log_prob(z_out)
+        log_det = self.target.log_prob(z) - self.target.log_prob(z_out)
+        return z_out, log_det, jnp.mean(mask.astype(z.dtype))[None]
+
+    def forward(self, z, context=None, key=None):
+        z, log_det, _ = self.forward_with_stats(z, context=context, key=key)
+        return z, log_det
 
     def inverse(self, z, context=None, key=None):
         return self.forward(z, context=context, key=key)

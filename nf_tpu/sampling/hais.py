@@ -40,14 +40,28 @@ class HAIS(Module):
                 jnp.log(jnp.asarray(step_size)), jnp.asarray(log_mass)))
         return cls(prior=prior, target=target, layers=tuple(layers))
 
-    def sample(self, key, num_samples):
-        """Draw weighted samples; returns (samples, log_weights)
-        (reference ``hais.py:37-49``)."""
+    def sample_with_stats(self, key, num_samples):
+        """Like :meth:`sample`, additionally returning the per-annealing-
+        layer HMC acceptance rate, shape ``(n_layers,)`` — first-class MCMC
+        observability (the reference computes the accept mask per layer,
+        ``stochastic.py:88-96``, but never surfaces it). Under a sharded
+        sampler the rates pmean over the mesh
+        (:func:`nf_tpu.parallel.sampling.make_sharded_sampler`)."""
         keys = jax.random.split(key, len(self.layers) + 1)
         samples, log_weights = self.prior.forward(keys[0], num_samples)
         log_weights = -log_weights
+        acceptance = []
         for layer, k in zip(self.layers, keys[1:]):
-            samples, lw_add = layer.forward(samples, key=k)
+            samples, lw_add, acc = layer.forward_with_stats(samples, key=k)
             log_weights = log_weights + lw_add
+            acceptance.append(acc)
         log_weights = log_weights + self.target.log_prob(samples)
+        acc = (jnp.concatenate(acceptance) if acceptance
+               else jnp.zeros((0,), samples.dtype))
+        return samples, log_weights, acc
+
+    def sample(self, key, num_samples):
+        """Draw weighted samples; returns (samples, log_weights)
+        (reference ``hais.py:37-49``)."""
+        samples, log_weights, _ = self.sample_with_stats(key, num_samples)
         return samples, log_weights

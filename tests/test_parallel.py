@@ -147,6 +147,69 @@ def test_sharded_hais_sampler():
     assert np.isfinite(float(log_normalizer(log_w)))
 
 
+def test_sharded_hais_acceptance_stats():
+    """The psum'd (pmean) MCMC acceptance collective equals the gathered
+    computation: running each device's folded-key chain batch on one device
+    and averaging the rates reproduces the sharded sampler's replicated
+    acceptance output bit-for-bit (equal local batches => pmean of local
+    means is the global mean)."""
+    import numpy as np
+
+    from nf_tpu.distributions import DiagGaussian, TwoModes
+    from nf_tpu.parallel import make_sharded_sampler
+    from nf_tpu.parallel.mesh import make_mesh
+    from nf_tpu.sampling import HAIS
+
+    mesh = make_mesh(("data",))
+    n_dev = mesh.shape["data"]
+    betas = np.linspace(1.0, 0.0, 9)
+    hais = HAIS.create(betas, DiagGaussian.create(2, trainable=False),
+                       TwoModes(), num_leapfrog=3, step_size=[0.1, 0.1],
+                       log_mass=[0.0, 0.0])
+    key = jax.random.PRNGKey(3)
+    sample = make_sharded_sampler(mesh, num_samples=64, with_stats=True)
+    z, log_w, acc = sample(hais, key)
+    n_layers = len(hais.layers)
+    assert z.shape == (64, 2) and log_w.shape == (64,)
+    assert acc.shape == (n_layers,)
+    acc = np.asarray(acc)
+    assert np.all(acc >= 0) and np.all(acc <= 1)
+    assert np.any(acc > 0)  # chains actually moved
+    # gathered-sample recomputation: per-device folded chains run locally
+    local = 64 // n_dev
+    gathered = np.mean(
+        [np.asarray(jax.jit(hais.sample_with_stats, static_argnums=1)(
+            jax.random.fold_in(key, i), local)[2]) for i in range(n_dev)],
+        axis=0)
+    np.testing.assert_allclose(acc, gathered, atol=1e-6)
+
+
+def test_sample_with_mcmc_stats_container():
+    """NormalizingFlow.sample_with_mcmc_stats surfaces per-MCMC-layer
+    acceptance tuples and leaves (z, log_q) identical to plain sample."""
+    import numpy as np
+
+    from nf_tpu.distributions import DiagGaussianProposal, TwoModes
+
+    q0 = dist.DiagGaussian.create(2, trainable=False)
+    mh = nff.MetropolisHastings.create(
+        TwoModes(), DiagGaussianProposal.create((2,), 0.2), steps=5)
+    hmc = nff.HamiltonianMonteCarlo.create(
+        TwoModes(), 3, jnp.log(jnp.full((2,), 0.1)), jnp.zeros((2,)))
+    model = nf_tpu.NormalizingFlow.create(q0, [mh, nff.ActNorm.create(2),
+                                               hmc], p=TwoModes())
+    key = jax.random.PRNGKey(11)
+    z, log_q, acc = model.sample_with_mcmc_stats(key, 128)
+    z2, log_q2 = model.sample(key, 128)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(log_q), np.asarray(log_q2))
+    assert len(acc) == 2  # one per MCMC layer, ActNorm contributes nothing
+    assert acc[0].shape == (5,) and acc[1].shape == (1,)
+    for a in acc:
+        a = np.asarray(a)
+        assert np.all((a >= 0) & (a <= 1))
+
+
 def test_sharded_sampler_matches_flow_sampling_consistency():
     """A NormalizingFlow is itself a valid sampler for the sharded driver
     (sample() returns (z, log_q))."""
