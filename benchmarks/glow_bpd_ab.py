@@ -178,8 +178,32 @@ def cmd_torch(args):
 
     jitter_rng = np.random.default_rng(args.train_jitter_seed)
     sched = batch_indices(args.iters, n=len(x_tr))
-    t0 = time.time()
-    for it, idx in enumerate(sched):
+
+    # checkpoint/resume: the CPU leg runs for hours and must survive kills.
+    # Resume is exact — model/optimizer state_dicts plus the numpy jitter
+    # bit-generator state make the continued run bit-identical to an
+    # uninterrupted one (the batch schedule is a pure function of the iter).
+    ckpt_path = args.ckpt or (args.out + ".ckpt")
+    start_it, wall_prev = 0, 0.0
+    if os.path.exists(ckpt_path):
+        ck = torch.load(ckpt_path, weights_only=False)
+        model.load_state_dict(ck["model"])
+        optimizer.load_state_dict(ck["opt"])
+        jitter_rng.bit_generator.state = ck["jitter_rng"]
+        start_it, wall_prev = ck["iter"], ck["wall_s"]
+        print(f"resumed from {ckpt_path} at iter {start_it}", flush=True)
+
+    def save_ckpt(it, wall):
+        tmp = ckpt_path + ".tmp"
+        torch.save({"iter": it, "wall_s": wall,
+                    "model": model.state_dict(),
+                    "opt": optimizer.state_dict(),
+                    "jitter_rng": jitter_rng.bit_generator.state}, tmp)
+        os.replace(tmp, ckpt_path)
+
+    t0 = time.time() - wall_prev
+    for it in range(start_it, args.iters):
+        idx = sched[it]
         x = torch.from_numpy(dequantize(x_tr[idx], jitter_rng))
         y = torch.from_numpy(y_tr[idx].astype(np.int64))
         optimizer.zero_grad()
@@ -189,6 +213,9 @@ def cmd_torch(args):
             optimizer.step()
         if (it + 1) in EVAL_ITERS or (it + 1) == args.iters:
             eval_bpd(it + 1, time.time() - t0)
+        if (it + 1) % 100 == 0 or (it + 1) in EVAL_ITERS \
+                or (it + 1) == args.iters:
+            save_ckpt(it + 1, time.time() - t0)
         if it % 25 == 0:
             print(f"iter {it} loss {float(loss):+.1f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
@@ -346,6 +373,9 @@ def main():
                         help="parameter-init seed (jax side); vary to "
                              "measure the init-variance MC band")
         sp.add_argument("--npz", type=str, default=DATA_NPZ)
+        sp.add_argument("--ckpt", type=str, default=None,
+                        help="torch leg: checkpoint path (default "
+                             "<out>.ckpt); resumes exactly if it exists")
         sp.add_argument("--out", type=str,
                         default=os.path.join(OUT, f"glow_ab_{fw}.jsonl"))
     sr = sub.add_parser("report")
