@@ -35,11 +35,31 @@ def save_results():
     print("merged", len(RESULTS), "rows into", path)
 
 
-def run(mixed_precision, batch=128, L=3, K=16, hidden=256, reps=8):
+# TPU v5e (v5 lite) single-chip peaks for roofline fractions:
+HBM_PEAK_GBPS = 819.0
+MXU_PEAK_BF16_TFLOPS = 197.0
+
+
+def _step_cost(step_fn, *args):
+    """(flops, bytes_accessed) of one compiled step from XLA cost
+    analysis — the basis for the HBM/MXU roofline fractions."""
+    try:
+        c = jax.jit(step_fn).lower(*args).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else c
+        if not c:
+            return None, None
+        return (float(c.get("flops") or 0) or None,
+                float(c.get("bytes accessed") or 0) or None)
+    except Exception:
+        return None, None
+
+
+def run(mixed_precision, batch=128, L=3, K=16, hidden=256, reps=8,
+        remat=False):
     key = jax.random.PRNGKey(0)
     model = models.build_glow_multiscale(
         key, input_shape=(3, 32, 32), L=L, K=K, hidden_channels=hidden,
-        scan=True, mixed_precision=mixed_precision)
+        scan=True, remat=remat, mixed_precision=mixed_precision)
     x = jax.random.uniform(key, (batch, 3, 32, 32), minval=0.01, maxval=0.99)
     y = jnp.zeros((batch,), jnp.int32)
     model = model.init_from_data(x, y)
@@ -50,9 +70,16 @@ def run(mixed_precision, batch=128, L=3, K=16, hidden=256, reps=8):
     float(loss)  # host fetch: block_until_ready can no-op on the relay
     dt = _two_point_steps(lambda s: step(s, (x, y)), state, reps)
     suffix = ("_bf16" if mixed_precision else "") + (
-        f"_b{batch}" if batch != 128 else "")
-    fl = _step_flops(step, state, (x, y))
-    extra = {"tflops_per_s": round(fl / dt / 1e12, 2)} if fl else {}
+        f"_b{batch}" if batch != 128 else "") + ("_remat" if remat else "")
+    fl, by = _step_cost(step, state, (x, y))
+    extra = {}
+    if fl:
+        extra["tflops_per_s"] = round(fl / dt / 1e12, 2)
+        extra["mxu_fraction_bf16peak"] = round(
+            fl / dt / 1e12 / MXU_PEAK_BF16_TFLOPS, 4)
+    if by:
+        extra["hbm_gbps"] = round(by / dt / 1e9, 1)
+        extra["hbm_fraction"] = round(by / dt / 1e9 / HBM_PEAK_GBPS, 3)
     record(f"glow_full_l3_k16_h256_train_step{suffix}", batch / dt,
            "images/s", ms_per_step=dt * 1e3, loss=float(loss), **extra)
 
@@ -63,13 +90,17 @@ def main():
     run(False)
     run(True)
     # batch scaling: b=128 underfills the chip on the small convs
-    # (BASELINE.md achieved-FLOPs analysis); b=256/b=512 rows quantify it
+    # (BASELINE.md achieved-FLOPs analysis); b=256+ rows quantify it
     run(False, batch=256)
     run(True, batch=256)
-    try:
-        run(True, batch=512, reps=4)
-    except Exception as e:  # b=512 can exceed HBM on a single v5e
-        print(f"b=512 bf16 row skipped: {type(e).__name__}: {e}")
+    # the tuned max-throughput ceiling (VERDICT r2 item 4): largest batch
+    # that fits, bf16 conditioners, remat where HBM requires it
+    for batch, remat in ((512, False), (512, True), (1024, True)):
+        try:
+            run(True, batch=batch, reps=4, remat=remat)
+        except Exception as e:  # can exceed HBM on a single v5e
+            print(f"b={batch} bf16 remat={remat} row skipped: "
+                  f"{type(e).__name__}: {e}")
     save_results()
 
 

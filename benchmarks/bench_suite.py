@@ -414,8 +414,16 @@ def bench_image_nsf_step(batch=64, L=2, K=4, hidden=64, reps=8):
            loss=float(loss), **extra)
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     from nf_tpu.utils.profiling import enable_compilation_cache
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default=None,
+                    help="write metrics to this path instead of merging "
+                         "into results.json (used by run_suite_median.py)")
+    args = ap.parse_args(argv)
 
     enable_compilation_cache()
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
@@ -429,6 +437,13 @@ def main():
     bench_glow_step()
     bench_glow_step(mixed_precision=True)
     bench_image_nsf_step()
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"backend": jax.default_backend(),
+                       "device": str(jax.devices()[0]),
+                       "metrics": RESULTS}, f, indent=2)
+        print("wrote", args.out)
+        return
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
     # Merge-update: other scripts (bench_glow_full, bench_torch_reference,

@@ -1,0 +1,78 @@
+"""Run the full bench suite N times (fresh process each) and aggregate
+median ± spread per metric — the pinned perf-table methodology (VERDICT r2
+item 1: single-run bests swung up to 2.9x between rounds on the axon
+relay; every BASELINE.md row now reports the median of N runs with its
+min-max spread).
+
+Writes ``benchmarks/results_median.json`` (full per-run values + medians)
+and merge-updates ``benchmarks/results.json`` metrics with the medians
+(adding ``spread`` = max/min over runs and ``n_runs``), so every consumer
+of results.json sees pinned numbers.
+
+Run: cd /root/repo && python benchmarks/run_suite_median.py [--runs 3]
+"""
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    run_metrics = []
+    for i in range(args.runs):
+        out = os.path.join(HERE, f"out/suite_run{i}.json")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench_suite.py"),
+             "--out", out],
+            cwd=os.path.dirname(HERE), capture_output=True, text=True)
+        if r.returncode != 0:
+            print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"suite run {i} failed")
+        with open(out) as f:
+            run_metrics.append(json.load(f)["metrics"])
+        print(f"run {i}: {time.time() - t0:.0f}s", flush=True)
+
+    agg = {}
+    for name in run_metrics[0]:
+        vals = [rm[name]["value"] for rm in run_metrics if name in rm]
+        med = statistics.median(vals)
+        agg[name] = dict(run_metrics[-1][name])
+        agg[name].update({
+            "value": round(med, 2),
+            "runs": [round(v, 2) for v in vals],
+            "spread": round(max(vals) / max(min(vals), 1e-12), 3),
+            "n_runs": len(vals),
+        })
+        print(f"{name}: median {med:.2f} {agg[name].get('unit', '')} "
+              f"(spread x{agg[name]['spread']})", flush=True)
+
+    with open(os.path.join(HERE, "results_median.json"), "w") as f:
+        json.dump({"n_runs": args.runs, "metrics": agg}, f, indent=2)
+
+    results = os.path.join(HERE, "results.json")
+    data = {}
+    if os.path.exists(results):
+        with open(results) as f:
+            data = json.load(f)
+    data.setdefault("metrics", {}).update(agg)
+    data["suite_methodology"] = (f"median of {args.runs} full-suite runs, "
+                                 "two-point-fit timing per metric")
+    with open(results, "w") as f:
+        json.dump(data, f, indent=2)
+    print("wrote results_median.json and merged medians into results.json")
+
+
+if __name__ == "__main__":
+    main()
