@@ -58,16 +58,25 @@ CONV_SHAPES = [  # (label, B, C, H, W)
     ("glow_L0_b1024", 1024, 12, 16, 16),
     ("big_b256_c64_32x32", 256, 64, 32, 32),
 ]
-REPS = (16, 64)
+def _reps_for(bytes_per_app, target_s=0.05):
+    """Chain length whose expected device time (at the 819 GB/s HBM
+    roofline) is ~target_s: these ops are MICROSECONDS per application, so
+    fixed small reps drown in relay jitter (the first cut of this
+    experiment measured negative deltas at reps 16/64)."""
+    est = bytes_per_app / 819e9
+    r = max(64, int(target_s / est))
+    return min(r, 1 << 17)
 
 
-def two_point(body, x0):
+def two_point(body, x0, bytes_per_app):
+    r1 = _reps_for(bytes_per_app)
+    r2 = 4 * r1
     walls = {}
-    for r in REPS:
+    for r in (r1, r2):
         c = compile_scan_chain(body, r)
         warmup_with_retries(c, x0)
         walls[r] = _best_wall(c, x0)
-    return (walls[REPS[1]] - walls[REPS[0]]) / (REPS[1] - REPS[0])
+    return (walls[r2] - walls[r1]) / (r2 - r1), r1
 
 
 def bench_coupling(label, B, C2, H, W, key):
@@ -94,13 +103,13 @@ def bench_coupling(label, B, C2, H, W, key):
         out = z2c + shift + scale0 + jnp.mean(z2c) * 1e-12
         return out
 
-    dt_op = two_point(op_body, z2)
-    dt_copy = two_point(copy_body, z2)
     planes = 4  # 3 reads + 1 write
     bytes_per_app = planes * z2.size * 4
+    dt_op, reps = two_point(op_body, z2, bytes_per_app)
+    dt_copy, _ = two_point(copy_body, z2, bytes_per_app)
     return {
         "op": "affine_coupling_sigmoid_fwd", "shape": label,
-        "elements": int(z2.size),
+        "elements": int(z2.size), "reps": reps,
         "op_us": round(dt_op * 1e6, 2), "copy_us": round(dt_copy * 1e6, 2),
         "op_gbps": round(bytes_per_app / max(dt_op, 1e-12) / 1e9, 1),
         "copy_gbps": round(bytes_per_app / max(dt_copy, 1e-12) / 1e9, 1),
@@ -122,12 +131,13 @@ def bench_conv(label, B, C, H, W, key):
     def copy_body(zc):
         return zc * 1.0001 + 0.5
 
-    dt_op = two_point(op_body, z)
-    dt_copy = two_point(copy_body, z)
     bytes_per_app = 2 * z.size * 4  # read z + write z'
+    dt_op, reps = two_point(op_body, z, bytes_per_app)
+    dt_copy, _ = two_point(copy_body, z, bytes_per_app)
     flops = 2 * B * H * W * C * C
     return {
         "op": "lu_1x1_conv_inverse", "shape": label, "elements": int(z.size),
+        "reps": reps,
         "op_us": round(dt_op * 1e6, 2), "copy_us": round(dt_copy * 1e6, 2),
         "op_gbps": round(bytes_per_app / max(dt_op, 1e-12) / 1e9, 1),
         "copy_gbps": round(bytes_per_app / max(dt_copy, 1e-12) / 1e9, 1),
