@@ -84,9 +84,56 @@ def run(mixed_precision, batch=128, L=3, K=16, hidden=256, reps=8,
            "images/s", ms_per_step=dt * 1e3, loss=float(loss), **extra)
 
 
+def run_per_level(batch=256, K=16, hidden=256, reps=8,
+                  mixed_precision=True):
+    """Per-level roofline accounting (VERDICT r2 item 4): each Glow level's
+    16-block stack as its own L=1 model at that level's channel/spatial
+    geometry — level 0: 12ch 16x16, level 1: 24ch 8x8, level 2: 48ch 4x4
+    (CIFAR L=3 recipe channel arithmetic, ref glow.ipynb cell 2)."""
+    level_inputs = [("L0_12ch_16x16", (3, 32, 32)),
+                    ("L1_24ch_8x8", (6, 16, 16)),
+                    ("L2_48ch_4x4", (12, 8, 8))]
+    for name, input_shape in level_inputs:
+        key = jax.random.PRNGKey(0)
+        model = models.build_glow_multiscale(
+            key, input_shape=input_shape, L=1, K=K, hidden_channels=hidden,
+            scan=True, mixed_precision=mixed_precision)
+        x = jax.random.uniform(key, (batch,) + input_shape,
+                               minval=0.01, maxval=0.99)
+        y = jnp.zeros((batch,), jnp.int32)
+        model = model.init_from_data(x, y)
+        opt = optax.adamax(1e-3)
+        state, static = init_train_state(model, opt)
+        step = make_forward_kld_step(static, opt)
+        state, loss = step(state, (x, y))
+        float(loss)
+        dt = _two_point_steps(lambda s: step(s, (x, y)), state, reps)
+        fl, by = _step_cost(step, state, (x, y))
+        extra = {}
+        if fl:
+            extra["tflops_per_s"] = round(fl / dt / 1e12, 2)
+            extra["mxu_fraction_bf16peak"] = round(
+                fl / dt / 1e12 / MXU_PEAK_BF16_TFLOPS, 4)
+        if by:
+            extra["hbm_gbps"] = round(by / dt / 1e9, 1)
+            extra["hbm_fraction"] = round(by / dt / 1e9 / HBM_PEAK_GBPS, 3)
+        record(f"glow_level_{name}_k16_train_step_b{batch}", batch / dt,
+               "images/s", ms_per_step=dt * 1e3, **extra)
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-level", action="store_true",
+                    help="per-level roofline rows only")
+    args = ap.parse_args()
     enable_compilation_cache()
     print("backend:", jax.default_backend(), flush=True)
+    if args.per_level:
+        run_per_level()
+        save_results()
+        return
     run(False)
     run(True)
     # batch scaling: b=128 underfills the chip on the small convs

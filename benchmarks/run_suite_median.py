@@ -26,12 +26,20 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--reuse", action="store_true",
+                    help="keep existing out/suite_run{i}.json files instead "
+                         "of re-running them (crash/timeout recovery)")
     args = ap.parse_args()
 
     run_metrics = []
     for i in range(args.runs):
         out = os.path.join(HERE, f"out/suite_run{i}.json")
         os.makedirs(os.path.dirname(out), exist_ok=True)
+        if args.reuse and os.path.exists(out):
+            with open(out) as f:
+                run_metrics.append(json.load(f)["metrics"])
+            print(f"run {i}: reused {out}", flush=True)
+            continue
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "bench_suite.py"),
