@@ -127,12 +127,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-level", action="store_true",
                     help="per-level roofline rows only")
+    ap.add_argument("--out", type=str, default=None,
+                    help="write metrics to this path instead of merging "
+                         "into results.json (used by run_suite_median.py)")
     args = ap.parse_args()
+
+    def _finish():
+        if args.out:
+            import json
+
+            from bench_suite import RESULTS
+
+            with open(args.out, "w") as f:
+                json.dump({"backend": jax.default_backend(),
+                           "metrics": RESULTS}, f, indent=2)
+            print("wrote", args.out)
+        else:
+            save_results()
+
     enable_compilation_cache()
     print("backend:", jax.default_backend(), flush=True)
     if args.per_level:
         run_per_level()
-        save_results()
+        _finish()
         return
     run(False)
     run(True)
@@ -148,7 +165,7 @@ def main():
         except Exception as e:  # can exceed HBM on a single v5e
             print(f"b={batch} bf16 remat={remat} row skipped: "
                   f"{type(e).__name__}: {e}")
-    save_results()
+    _finish()
 
 
 if __name__ == "__main__":

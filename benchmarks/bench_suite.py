@@ -14,6 +14,14 @@ time.
 Writes ``benchmarks/results.json`` and prints one line per metric.
 ``python bench.py`` at the repo root remains the single-line headline the
 driver records; this suite is the broader perf story.
+
+Per-metric ``reps`` are sized so the R1 span is >=~40 ms of device time
+(from measured per-application times): the 4R-R delta must sit well above
+the relay's +-5-10 ms wall jitter or the two-point slope is noise (the
+round-2 suite used fixed small reps and the fast rows swung up to ~10x
+run-to-run). Train-step rows are Python-loop dispatches (launches
+pipeline; no compile cost for longer runs); chain rows compile one scan
+per length, deterministic across runs so the compilation cache hits.
 """
 
 import json
@@ -230,7 +238,7 @@ def bench_spline(n=1 << 21, K=8, reps=16):
         record(name, n / dt / 1e9, "Gelem/s", elements=n, num_bins=K)
 
 
-def bench_nsf_sample_logprob(batch=1 << 14, K=8, hidden=128, reps=8):
+def bench_nsf_sample_logprob(batch=1 << 14, K=8, hidden=128, reps=64):
     key = jax.random.PRNGKey(0)
     model = models.build_nsf(key, dim=2, K=K, hidden=hidden, num_bins=8)
 
@@ -242,7 +250,7 @@ def bench_nsf_sample_logprob(batch=1 << 14, K=8, hidden=128, reps=8):
     record("nsf_k8_log_prob", batch / dt, "evals/s")
 
 
-def bench_maf_logprob(batch=1 << 14, K=8, hidden=128, reps=8):
+def bench_maf_logprob(batch=1 << 14, K=8, hidden=128, reps=32):
     key = jax.random.PRNGKey(0)
     model = models.build_maf(key, dim=8, K=K, hidden=hidden)
 
@@ -274,7 +282,7 @@ def _build_ar_nsf(key, dim=8, K=4, hidden=64, num_bins=8):
         DiagGaussian.create(dim, trainable=False), flows)
 
 
-def bench_ar_nsf_sampling(batch=4096, dim=8, K=4, hidden=64, reps=4):
+def bench_ar_nsf_sampling(batch=4096, dim=8, K=4, hidden=64, reps=12):
     """SAMPLING throughput of the autoregressive NSF — the direction that
     pays the D-pass MADE inverse as a ``lax.scan`` (previously unmeasured;
     log_prob is the cheap single-pass direction)."""
@@ -291,7 +299,7 @@ def bench_ar_nsf_sampling(batch=4096, dim=8, K=4, hidden=64, reps=4):
            note="D-pass MADE inverse per layer")
 
 
-def bench_hais(chains=1 << 13, n_anneal=16, reps=4):
+def bench_hais(chains=1 << 13, n_anneal=16, reps=256):
     """Stochastic-NF sampling throughput: HAIS chains/s (annealed HMC over
     a LinearInterpolation bridge; reference ``sampling/hais.py``)."""
     import numpy as np
@@ -315,7 +323,7 @@ def bench_hais(chains=1 << 13, n_anneal=16, reps=4):
            chains=chains, anneal_steps=n_anneal)
 
 
-def bench_residual_train_step(batch=1 << 9, K=16, hidden=128, reps=4):
+def bench_residual_train_step(batch=1 << 9, K=16, hidden=128, reps=12):
     """Residual-flow training step, full reference recipe
     (``examples/residual.ipynb`` cells 1,3: K=16 iResBlocks over
     [2,128,128,2] Lipschitz MLPs, forward KLD with the stochastic log-det
@@ -362,7 +370,7 @@ def bench_residual_train_step(batch=1 << 9, K=16, hidden=128, reps=4):
            loss=float(loss), note="incl. update_lipschitz(50) per step")
 
 
-def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4,
+def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=32,
                     mixed_precision=False):
     import optax
 
@@ -391,7 +399,7 @@ def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=4,
            loss=float(loss), **extra)
 
 
-def bench_image_nsf_step(batch=64, L=2, K=4, hidden=64, reps=8):
+def bench_image_nsf_step(batch=64, L=2, K=4, hidden=64, reps=24):
     import optax
 
     from nf_tpu.parallel import init_train_state, make_forward_kld_step

@@ -29,11 +29,16 @@ def main():
     ap.add_argument("--reuse", action="store_true",
                     help="keep existing out/suite_run{i}.json files instead "
                          "of re-running them (crash/timeout recovery)")
+    ap.add_argument("--script", type=str, default="bench_suite.py",
+                    help="bench script to run (must accept --out); e.g. "
+                         "bench_glow_full.py for the full-recipe rows")
     args = ap.parse_args()
+    tag = os.path.splitext(os.path.basename(args.script))[0]
+    tag = "suite" if tag == "bench_suite" else tag
 
     run_metrics = []
     for i in range(args.runs):
-        out = os.path.join(HERE, f"out/suite_run{i}.json")
+        out = os.path.join(HERE, f"out/{tag}_run{i}.json")
         os.makedirs(os.path.dirname(out), exist_ok=True)
         if args.reuse and os.path.exists(out):
             with open(out) as f:
@@ -42,7 +47,7 @@ def main():
             continue
         t0 = time.time()
         r = subprocess.run(
-            [sys.executable, os.path.join(HERE, "bench_suite.py"),
+            [sys.executable, os.path.join(HERE, args.script),
              "--out", out],
             cwd=os.path.dirname(HERE), capture_output=True, text=True)
         if r.returncode != 0:
@@ -66,7 +71,9 @@ def main():
         print(f"{name}: median {med:.2f} {agg[name].get('unit', '')} "
               f"(spread x{agg[name]['spread']})", flush=True)
 
-    with open(os.path.join(HERE, "results_median.json"), "w") as f:
+    med_path = (os.path.join(HERE, "results_median.json") if tag == "suite"
+                else os.path.join(HERE, f"out/{tag}_median.json"))
+    with open(med_path, "w") as f:
         json.dump({"n_runs": args.runs, "metrics": agg}, f, indent=2)
 
     results = os.path.join(HERE, "results.json")
