@@ -17,7 +17,7 @@ from nf_tpu.utils.profiling import enable_compilation_cache
 
 
 def run(use_pallas, fused_bwd=True, bwd_kernel="analytic", batch=64, L=2,
-        K=4, hidden=64, reps=8):
+        K=4, hidden=64, reps=16):
     splines.set_pallas_enabled(use_pallas)
     splines_pallas.set_pallas_bwd_enabled(fused_bwd)
     splines_pallas.set_pallas_bwd_kernel(bwd_kernel)
@@ -46,12 +46,27 @@ def run(use_pallas, fused_bwd=True, bwd_kernel="analytic", batch=64, L=2,
 
 
 def main():
+    import argparse
+    import json
+
+    from bench_suite import RESULTS
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default=None,
+                    help="write metrics to this path (run_suite_median.py)")
+    args = ap.parse_args()
+
     enable_compilation_cache()
     print("backend:", jax.default_backend(), flush=True)
     run(True, fused_bwd=True)    # fused fwd + analytic fused bwd (default)
     run(True, fused_bwd=True, bwd_kernel="autodiff")  # round-2 vjp kernel
     run(True, fused_bwd=False)   # round-1: fused fwd, dense one-hot bwd
     run(False)                   # all-dense one-hot path
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"backend": jax.default_backend(),
+                       "metrics": RESULTS}, f, indent=2)
+        print("wrote", args.out)
 
 
 if __name__ == "__main__":
