@@ -103,6 +103,24 @@ def cmd_data(args):
           {k: (v.shape, str(v.dtype)) for k, v in arrays.items()})
 
 
+def cmd_data_extra(args):
+    """A larger held-out eval set (fresh rng stream, disjoint from the
+    train/test draws of ``data``) to tighten the jax-side 20k-tail bpd sem:
+    sem scales as 1/sqrt(n), so 8192 images cut the 512-image sem ~4x. The
+    torch leg keeps the 512-image set for CPU budget; matched-iteration
+    rows always use the shared 512-image arrays."""
+    os.makedirs(OUT, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    x_ev, y_ev = procedural_cifar_np(rng, args.n)
+    arrays = {"x_eval": x_ev, "y_eval": y_ev}
+    for s in EVAL_SEEDS:
+        arrays[f"x_eval_deq{s}"] = dequantize(
+            x_ev, np.random.default_rng(2000 + s))
+    np.savez_compressed(args.npz, **arrays)
+    print("wrote", args.npz,
+          {k: (v.shape, str(v.dtype)) for k, v in arrays.items()})
+
+
 def load_data(path=DATA_NPZ):
     d = np.load(path)
     return d
@@ -278,6 +296,18 @@ def cmd_jax(args):
     test_y = jnp.asarray(d["y_test"].astype(np.int32))
     test_x = {s: jnp.asarray(d[f"x_test_deq{s}"]) for s in EVAL_SEEDS}
 
+    # optional larger held-out set (``data-extra``): evaluated in fixed
+    # 512-image chunks so the jitted bpd executable is shared with the
+    # 512-image matched-iteration eval (one compile, static shapes)
+    extra, extra_iters = None, set()
+    if args.eval_extra_npz:
+        de = np.load(args.eval_extra_npz)
+        chunks = len(de["y_eval"]) // len(test_y) * len(test_y)
+        extra = {s: np.ascontiguousarray(de[f"x_eval_deq{s}"][:chunks])
+                 for s in EVAL_SEEDS}
+        extra_y = de["y_eval"][:chunks].astype(np.int32)
+        extra_iters = {int(v) for v in args.eval_extra_iters.split(",")}
+
     @jax.jit
     def bpd_of(params, x, y):
         nll = -combine(params, static).log_prob(x, y)
@@ -294,6 +324,24 @@ def cmd_jax(args):
                    "wall_s": round(wall, 1)}
             jsonl_append(args.out, row)
             print(row, flush=True)
+        if extra is not None and it in extra_iters:
+            n_chunk = len(test_y)
+            for s in EVAL_SEEDS:
+                bs = [np.asarray(bpd_of(
+                          params,
+                          jnp.asarray(extra[s][lo:lo + n_chunk]),
+                          jnp.asarray(extra_y[lo:lo + n_chunk])))
+                      for lo in range(0, len(extra_y), n_chunk)]
+                b = np.concatenate(bs)
+                row = {"framework": "jax", "iter": it, "eval_seed": s,
+                       "eval_set": f"extra{len(b)}",
+                       "bpd": float(np.nanmean(b)),
+                       "sem": float(np.nanstd(b) / np.sqrt(
+                           np.sum(~np.isnan(b)))),
+                       "nan_frac": float(np.mean(np.isnan(b))),
+                       "wall_s": round(time.time() - t0, 1)}
+                jsonl_append(args.out, row)
+                print(row, flush=True)
 
     t0 = time.time()
     for it, idx in enumerate(sched):
@@ -305,6 +353,11 @@ def cmd_jax(args):
         if it % 100 == 0:
             print(f"iter {it} loss {float(loss):+.1f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+    if args.save_params:
+        import pickle
+        with open(args.save_params, "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+        print("saved final params to", args.save_params, flush=True)
 
 
 # --------------------------------------------------------------- report ---
@@ -364,6 +417,11 @@ def main():
     sd.add_argument("--n-train", type=int, default=N_TRAIN)
     sd.add_argument("--n-test", type=int, default=N_TEST)
     sd.add_argument("--npz", type=str, default=DATA_NPZ)
+    se = sub.add_parser("data-extra")
+    se.add_argument("--n", type=int, default=8192)
+    se.add_argument("--seed", type=int, default=1007)
+    se.add_argument("--npz", type=str,
+                    default=os.path.join(OUT, "glow_ab_eval8k.npz"))
     for fw in ("torch", "jax"):
         sp = sub.add_parser(fw)
         sp.add_argument("--iters", type=int, default=1000)
@@ -378,12 +436,20 @@ def main():
                              "<out>.ckpt); resumes exactly if it exists")
         sp.add_argument("--out", type=str,
                         default=os.path.join(OUT, f"glow_ab_{fw}.jsonl"))
+        if fw == "jax":
+            sp.add_argument("--eval-extra-npz", type=str, default=None,
+                            help="data-extra npz: larger held-out set, "
+                                 "evaluated in 512-image chunks")
+            sp.add_argument("--eval-extra-iters", type=str,
+                            default="10000,16000,20000")
+            sp.add_argument("--save-params", type=str, default=None,
+                            help="pickle the final param pytree here")
     sr = sub.add_parser("report")
     sr.add_argument("--tag", type=str, default="",
                     help='"" = original 4096-image files; "50k" = scaled run')
     args = p.parse_args()
-    {"data": cmd_data, "torch": cmd_torch, "jax": cmd_jax,
-     "report": cmd_report}[args.cmd](args)
+    {"data": cmd_data, "data-extra": cmd_data_extra, "torch": cmd_torch,
+     "jax": cmd_jax, "report": cmd_report}[args.cmd](args)
 
 
 if __name__ == "__main__":
