@@ -220,13 +220,30 @@ def _residual_block(mod: ResidualBlock, sd, p):
         context_layer=ctx)
 
 
+def _head_to_bin_major(arr, head):
+    """Reorder head rows from the reference's feature-major layout
+    (row = d*mult + p) to our bin-major layout (row = p*D + d); see
+    ``ResidualNet.bin_major_head``. Applies to weight/bias/mask alike."""
+    if arr is None:
+        return None
+    d, mult = head
+    a = jnp.asarray(arr)
+    return a.reshape((d, mult) + a.shape[1:]).swapaxes(0, 1) \
+        .reshape(a.shape)
+
+
 def _residual_net(mod: ResidualNet, sd, p):
+    final = _conv_linear(mod.final_layer, sd, p + "final_layer.")
+    if mod.bin_major_head is not None:
+        final = final.replace(
+            weight=_head_to_bin_major(final.weight, mod.bin_major_head),
+            bias=_head_to_bin_major(final.bias, mod.bin_major_head))
     return mod.replace(
         initial_layer=_conv_linear(mod.initial_layer, sd,
                                    p + "initial_layer."),
         blocks=tuple(_residual_block(b, sd, f"{p}blocks.{i}.")
                      for i, b in enumerate(mod.blocks)),
-        final_layer=_conv_linear(mod.final_layer, sd, p + "final_layer."))
+        final_layer=final)
 
 
 def _conv_residual_block(mod, sd, p):
@@ -274,12 +291,18 @@ def _made(mod: MADE, sd, p):
     ctx = mod.context_layer
     if ctx is not None:
         ctx = _conv_linear(ctx, sd, p + "context_layer.")
+    final = _masked_linear(mod.final_layer, sd, p + "final_layer.")
+    if mod.bin_major_head is not None:
+        final = final.replace(
+            weight=_head_to_bin_major(final.weight, mod.bin_major_head),
+            bias=_head_to_bin_major(final.bias, mod.bin_major_head),
+            mask=_head_to_bin_major(final.mask, mod.bin_major_head))
     return mod.replace(
         initial_layer=_masked_linear(mod.initial_layer, sd,
                                      p + "initial_layer."),
         context_layer=ctx,
         blocks=tuple(blocks),
-        final_layer=_masked_linear(mod.final_layer, sd, p + "final_layer."))
+        final_layer=final)
 
 
 # --- flow layers ----------------------------------------------------------

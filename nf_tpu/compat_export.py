@@ -119,11 +119,28 @@ def _e_residual_block(mod, out, p):
         _e_linear(mod.context_layer, out, p + "context_layer.")
 
 
+def _head_to_feature_major(arr, head):
+    """Inverse of ``compat._head_to_bin_major``: our bin-major head rows
+    (row = p*D + d) back to the reference's feature-major layout
+    (row = d*mult + p)."""
+    if arr is None:
+        return None
+    d, mult = head
+    a = _np(arr)
+    return a.reshape((mult, d) + a.shape[1:]).swapaxes(0, 1) \
+        .reshape(a.shape)
+
+
 def _e_residual_net(mod, out, p):
     _e_linear(mod.initial_layer, out, p + "initial_layer.")
     for i, b in enumerate(mod.blocks):
         _e_residual_block(b, out, f"{p}blocks.{i}.")
-    _e_linear(mod.final_layer, out, p + "final_layer.")
+    final = mod.final_layer
+    if mod.bin_major_head is not None:
+        final = final.replace(
+            weight=_head_to_feature_major(final.weight, mod.bin_major_head),
+            bias=_head_to_feature_major(final.bias, mod.bin_major_head))
+    _e_linear(final, out, p + "final_layer.")
 
 
 def _e_conv_residual_block(mod, out, p):
@@ -157,7 +174,13 @@ def _e_made(mod, out, p):
             _e_masked_linear(b.linear, out, q + "linear.")
         else:
             raise NotImplementedError(type(b).__name__)
-    _e_masked_linear(mod.final_layer, out, p + "final_layer.")
+    final = mod.final_layer
+    if mod.bin_major_head is not None:
+        final = final.replace(
+            weight=_head_to_feature_major(final.weight, mod.bin_major_head),
+            bias=_head_to_feature_major(final.bias, mod.bin_major_head),
+            mask=_head_to_feature_major(final.mask, mod.bin_major_head))
+    _e_masked_linear(final, out, p + "final_layer.")
 
 
 def _e_affine_const(mod, out, p):

@@ -44,7 +44,8 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
                min_bin_width=splines.DEFAULT_MIN_BIN_WIDTH,
                min_bin_height=splines.DEFAULT_MIN_BIN_HEIGHT,
                min_derivative=splines.DEFAULT_MIN_DERIVATIVE,
-               mixed_precision=False, dtype=jnp.float32):
+               mixed_precision=False, bin_major_head=False,
+               dtype=jnp.float32):
         from ...nets.made import MADE
         from ...nets.precision import MixedPrecision
 
@@ -67,6 +68,12 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
             preprocessing = PeriodicFeaturesElementwise.create(
                 features, ind_circ, scale_pf, dtype=dtype)
 
+        if bin_major_head and not (
+                tails in ("linear", "circular")
+                or (isinstance(tails, (list, tuple))
+                    and len(set(tails)) == 1
+                    and tails[0] in ("linear", "circular"))):
+            bin_major_head = False  # mixed tails: generic feed only
         made = MADE.create(
             key, features=features, hidden_features=hidden_features,
             context_features=context_features, num_blocks=num_blocks,
@@ -74,7 +81,7 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
             random_mask=random_mask, permute_mask=permute_mask,
             activation=activation, dropout_probability=dropout_probability,
             use_batch_norm=use_batch_norm, preprocessing=preprocessing,
-            dtype=dtype)
+            bin_major_head=bin_major_head, dtype=dtype)
 
         if init_identity:
             # identity init of the final MADE layer
@@ -101,6 +108,10 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
                    min_derivative=min_derivative)
 
     def _elementwise(self, inputs, autoregressive_params, inverse=False):
+        if getattr(self.autoregressive_net, "bin_major_head", None) \
+                is not None:
+            return self._elementwise_bin_major(inputs, autoregressive_params,
+                                               inverse)
         batch = inputs.shape[0]
         mult = autoregressive_params.shape[-1] // self.features
         p = autoregressive_params.reshape(batch, self.features, mult)
@@ -124,6 +135,34 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
                 min_bin_height=self.min_bin_height,
                 min_derivative=self.min_derivative)
         return outputs, sum_except_batch(logabsdet)
+
+    def _elementwise_bin_major(self, inputs, autoregressive_params, inverse):
+        """Fused bin-major feed: the MADE head emits ``(mult*D, B)`` with
+        rows param-major, a zero-copy view of the fused kernel's ``(K, N)``
+        layout — only the 1-plane input/output transposes remain
+        (docs/kernels.md). Requires homogeneous 'linear'/'circular' tails
+        (``MADE.create(bin_major_head=...)`` guarantees it)."""
+        batch = inputs.shape[0]
+        homo = self.tails if isinstance(self.tails, str) else self.tails[0]
+        p = autoregressive_params.reshape(-1, self.features, batch)
+        uw = p[: self.num_bins] * self.softmax_scale
+        uh = p[self.num_bins:2 * self.num_bins] * self.softmax_scale
+        ud = p[2 * self.num_bins:]
+        if ud.shape[0] == self.num_bins + 1:
+            # per-feature-tails K+1 param count: the tail padding overwrites
+            # the first/last entries, so slice to the scalar-variant planes
+            ud = ud[1:self.num_bins] if homo == "linear" \
+                else ud[: self.num_bins]
+        tb = self.tail_bound_arr if self.tail_bound_arr is not None \
+            else self.tail_bound
+        if self.tail_bound_arr is not None:
+            tb = tb.reshape(-1, 1)  # per-feature bounds over (D, B) data
+        y_t, ld_t = splines.unconstrained_rational_quadratic_spline_kmajor(
+            inputs.T, uw, uh, ud, inverse=inverse, tails=homo,
+            tail_bound=tb, min_bin_width=self.min_bin_width,
+            min_bin_height=self.min_bin_height,
+            min_derivative=self.min_derivative)
+        return y_t.T, jnp.sum(ld_t, axis=0)
 
     def _elementwise_forward(self, inputs, autoregressive_params):
         return self._elementwise(inputs, autoregressive_params, inverse=False)

@@ -315,8 +315,61 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
             min_bin_height=self.min_bin_height,
             min_derivative=self.min_derivative)
 
+    def _homogeneous_tails(self):
+        """'linear'/'circular' when every transformed feature shares that
+        tail type (scalar, or a homogeneous per-feature tuple), else None.
+        A homogeneous tuple keeps the reference's 3K+1 parameter count
+        (``coupling.py:321-327``) but is pointwise-equivalent to the scalar
+        variant on a derivative sub-slice — first/last entries are
+        overwritten by the tail padding (see
+        ``ops.splines.unconstrained_rational_quadratic_spline``) — which
+        lets e.g. the cylinder's one-circular-feature couplings use the
+        fused bin-major feeds."""
+        if self.tails in ("linear", "circular"):
+            return self.tails
+        if isinstance(self.tails, tuple) and len(set(self.tails)) == 1 \
+                and self.tails[0] in ("linear", "circular"):
+            return self.tails[0]
+        return None
+
+    def _slice_ud_planes(self, ud, homo):
+        """Drop the derivative planes the tail padding would overwrite when
+        params carry the per-feature-tails K+1 count (leading-axis layout)."""
+        if ud.shape[0] == self.num_bins + 1:
+            return ud[1:self.num_bins] if homo == "linear" \
+                else ud[:self.num_bins]
+        return ud
+
     def _coupling_transform(self, inputs, transform_params, inverse):
-        if inputs.ndim == 4 and self.tails in ("linear", "circular"):
+        homo = self._homogeneous_tails()
+        net_bin_major = getattr(self.transform_net, "bin_major_head", None)
+        if net_bin_major is not None:
+            # head emits (mult*D, B) with rows bin-major: zero-copy view to
+            # (mult, D, B) planes
+            b = inputs.shape[0]
+            d = net_bin_major[0]
+            p = transform_params.reshape(-1, d, b)
+            if inputs.ndim == 2 and homo is not None:
+                uw = p[: self.num_bins] * self.softmax_scale
+                uh = p[self.num_bins:2 * self.num_bins] * self.softmax_scale
+                ud = self._slice_ud_planes(p[2 * self.num_bins:], homo)
+                tb = self.tail_bound_arr if self.tail_bound_arr is not None \
+                    else self.tail_bound
+                if self.tail_bound_arr is not None:
+                    tb = tb.reshape(-1, 1)  # per-feature bounds, (D, B) data
+                x_t = inputs.T  # (D, B): the only remaining relayout —
+                # one plane each way vs 3K+1 param planes (docs/kernels.md)
+                y_t, ld_t = \
+                    splines.unconstrained_rational_quadratic_spline_kmajor(
+                        x_t, uw, uh, ud, inverse=inverse, tails=homo,
+                        tail_bound=tb, min_bin_width=self.min_bin_width,
+                        min_bin_height=self.min_bin_height,
+                        min_derivative=self.min_derivative)
+                return y_t.T, jnp.sum(ld_t, axis=0)
+            # unsupported tails/rank: fall back to the generic feed
+            transform_params = jnp.moveaxis(p, (0, 1, 2), (2, 1, 0)) \
+                .reshape(b, -1)
+        if inputs.ndim == 4 and homo is not None:
             # Bin-major fast feed: the conv conditioner output
             # (B, C*3K, H, W) views as (B, C, 3K, H, W) with the bin axis
             # already major of the spatial dims, so reaching the fused
@@ -328,14 +381,14 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
             p = jnp.transpose(p, (2, 0, 1, 3, 4))
             uw = p[: self.num_bins] * self.softmax_scale
             uh = p[self.num_bins:2 * self.num_bins] * self.softmax_scale
-            ud = p[2 * self.num_bins:]
+            ud = self._slice_ud_planes(p[2 * self.num_bins:], homo)
             tb = self.tail_bound_arr if self.tail_bound_arr is not None \
                 else self.tail_bound
             if self.tail_bound_arr is not None:
                 tb = tb.reshape((1, -1, 1, 1))  # per-channel bounds
             outputs, logabsdet = \
                 splines.unconstrained_rational_quadratic_spline_kmajor(
-                    inputs, uw, uh, ud, inverse=inverse, tails=self.tails,
+                    inputs, uw, uh, ud, inverse=inverse, tails=homo,
                     tail_bound=tb, min_bin_width=self.min_bin_width,
                     min_bin_height=self.min_bin_height,
                     min_derivative=self.min_derivative)

@@ -33,6 +33,31 @@ def _identity_init_resnet(net):
     return net.replace(final_layer=final)
 
 
+def _head_splits(mask, num_bins, tails):
+    """(transform_features, mult) for a bin-major conditioner head, or None
+    when the transform half's tails are mixed (generic feed only).
+
+    Mirrors the parameter-count rule of
+    ``PiecewiseRationalQuadraticCoupling.create`` (reference
+    ``coupling.py:321-327``): scalar 'linear' -> 3K-1, scalar 'circular' ->
+    3K, per-feature list (even homogeneous, for parameter parity) -> 3K+1.
+    """
+    _, transform_features = Coupling.split_mask(mask)
+    if isinstance(tails, (list, tuple)):
+        tails_t = {tails[i] for i in transform_features}
+        if len(tails_t) != 1 or next(iter(tails_t)) not in ("linear",
+                                                            "circular"):
+            return None
+        mult = 3 * num_bins + 1
+    elif tails == "linear":
+        mult = 3 * num_bins - 1
+    elif tails == "circular":
+        mult = 3 * num_bins
+    else:
+        return None
+    return (len(transform_features), mult)
+
+
 class CoupledRationalQuadraticSpline(Flow):
     """NSF coupling layer with ResidualNet conditioner
     (reference ``wrapper.py:14-85``)."""
@@ -44,7 +69,13 @@ class CoupledRationalQuadraticSpline(Flow):
                num_context_channels=None, num_bins=8, tails="linear",
                tail_bound=3.0, activation=jax.nn.relu,
                dropout_probability=0.0, reverse_mask=False,
-               init_identity=True, mixed_precision=False, dtype=jnp.float32):
+               init_identity=True, mixed_precision=False,
+               bin_major_head=True, dtype=jnp.float32):
+        mask = np.asarray(create_alternating_binary_mask(
+            num_input_channels, even=reverse_mask))
+        head = _head_splits(mask, num_bins, tails) if bin_major_head \
+            else None
+
         def transform_net_create_fn(k, in_features, out_features):
             net = ResidualNet.create(
                 k, in_features=in_features, out_features=out_features,
@@ -52,7 +83,7 @@ class CoupledRationalQuadraticSpline(Flow):
                 context_features=num_context_channels,
                 num_blocks=num_blocks, activation=activation,
                 dropout_probability=dropout_probability,
-                use_batch_norm=False, dtype=dtype)
+                use_batch_norm=False, bin_major_head=head, dtype=dtype)
             if init_identity:
                 net = _identity_init_resnet(net)
             if mixed_precision:
@@ -61,8 +92,7 @@ class CoupledRationalQuadraticSpline(Flow):
 
         prqct = PiecewiseRationalQuadraticCoupling.create(
             key,
-            mask=np.asarray(create_alternating_binary_mask(
-                num_input_channels, even=reverse_mask)),
+            mask=mask,
             transform_net_create_fn=transform_net_create_fn,
             num_bins=num_bins, tails=tails, tail_bound=tail_bound,
             # True corresponds to eqs (4)-(6) in the NSF paper
@@ -89,7 +119,8 @@ class CircularCoupledRationalQuadraticSpline(Flow):
                ind_circ, num_context_channels=None, num_bins=8,
                tail_bound=3.0, activation=jax.nn.relu,
                dropout_probability=0.0, reverse_mask=False, mask=None,
-               init_identity=True, mixed_precision=False, dtype=jnp.float32):
+               init_identity=True, mixed_precision=False,
+               bin_major_head=True, dtype=jnp.float32):
         if mask is None:
             mask = np.asarray(create_alternating_binary_mask(
                 num_input_channels, even=reverse_mask))
@@ -105,6 +136,11 @@ class CircularCoupledRationalQuadraticSpline(Flow):
             scale_pf = np.pi / np.asarray(tail_bound)[
                 np.asarray(identity_features)[ind_circ_id]]
 
+        tails = ["circular" if i in ind_circ else "linear"
+                 for i in range(num_input_channels)]
+        head = _head_splits(mask, num_bins, tails) if bin_major_head \
+            else None
+
         def transform_net_create_fn(k, in_features, out_features):
             pf = (PeriodicFeaturesElementwise.create(in_features, ind_circ_id,
                                                      scale_pf, dtype=dtype)
@@ -115,15 +151,14 @@ class CircularCoupledRationalQuadraticSpline(Flow):
                 context_features=num_context_channels,
                 num_blocks=num_blocks, activation=activation,
                 dropout_probability=dropout_probability,
-                use_batch_norm=False, preprocessing=pf, dtype=dtype)
+                use_batch_norm=False, preprocessing=pf,
+                bin_major_head=head, dtype=dtype)
             if init_identity:
                 net = _identity_init_resnet(net)
             if mixed_precision:
                 net = MixedPrecision(net=net)
             return net
 
-        tails = ["circular" if i in ind_circ else "linear"
-                 for i in range(num_input_channels)]
         prqct = PiecewiseRationalQuadraticCoupling.create(
             key, mask=mask, transform_net_create_fn=transform_net_create_fn,
             num_bins=num_bins, tails=tails, tail_bound=tail_bound,
@@ -149,7 +184,7 @@ class AutoregressiveRationalQuadraticSpline(Flow):
                num_context_channels=None, num_bins=8, tail_bound=3.0,
                activation=jax.nn.relu, dropout_probability=0.0,
                permute_mask=False, init_identity=True, mixed_precision=False,
-               dtype=jnp.float32):
+               bin_major_head=True, dtype=jnp.float32):
         mprqat = MaskedPiecewiseRationalQuadraticAutoregressive.create(
             key, features=num_input_channels,
             hidden_features=num_hidden_channels,
@@ -159,7 +194,7 @@ class AutoregressiveRationalQuadraticSpline(Flow):
             permute_mask=permute_mask, activation=activation,
             dropout_probability=dropout_probability, use_batch_norm=False,
             init_identity=init_identity, mixed_precision=mixed_precision,
-            dtype=dtype)
+            bin_major_head=bin_major_head, dtype=dtype)
         return cls(mprqat=mprqat)
 
     def forward(self, z, context=None, key=None):
@@ -181,7 +216,8 @@ class CircularAutoregressiveRationalQuadraticSpline(Flow):
                ind_circ, num_context_channels=None, num_bins=8,
                tail_bound=3.0, activation=jax.nn.relu,
                dropout_probability=0.0, permute_mask=True,
-               init_identity=True, mixed_precision=False, dtype=jnp.float32):
+               init_identity=True, mixed_precision=False,
+               bin_major_head=True, dtype=jnp.float32):
         tails = ["circular" if i in ind_circ else "linear"
                  for i in range(num_input_channels)]
         mprqat = MaskedPiecewiseRationalQuadraticAutoregressive.create(
@@ -193,7 +229,7 @@ class CircularAutoregressiveRationalQuadraticSpline(Flow):
             permute_mask=permute_mask, activation=activation,
             dropout_probability=dropout_probability, use_batch_norm=False,
             init_identity=init_identity, mixed_precision=mixed_precision,
-            dtype=dtype)
+            bin_major_head=bin_major_head, dtype=dtype)
         return cls(mprqat=mprqat)
 
     def forward(self, z, context=None, key=None):

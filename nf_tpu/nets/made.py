@@ -37,8 +37,13 @@ def _hidden_degrees(in_degrees, out_features, autoregressive_features,
     return degs
 
 
-def _output_degrees(in_degrees_input, out_features, autoregressive_features):
+def _output_degrees(in_degrees_input, out_features, autoregressive_features,
+                    bin_major=False):
     mult = out_features // autoregressive_features
+    if bin_major:
+        # bin-major: all features' p-th parameters contiguous — the head
+        # emits spline params in the fused kernel's (mult, D) row order
+        return np.tile(in_degrees_input, mult)
     # interleaved tile: each input degree repeated `mult` times contiguously
     return np.repeat(in_degrees_input, mult)
 
@@ -55,7 +60,7 @@ class MaskedLinear(Module):
     @classmethod
     def create(cls, key, in_degrees, out_features, autoregressive_features,
                random_mask=False, is_output=False, bias=True,
-               out_degrees_=None, dtype=jnp.float32):
+               out_degrees_=None, bin_major=False, dtype=jnp.float32):
         in_degrees = np.asarray(in_degrees)
         in_features = len(in_degrees)
         if is_output:
@@ -63,7 +68,8 @@ class MaskedLinear(Module):
                 out_degrees_ = _get_input_degrees(autoregressive_features)
             out_degrees = _output_degrees(np.asarray(out_degrees_),
                                           out_features,
-                                          autoregressive_features)
+                                          autoregressive_features,
+                                          bin_major=bin_major)
             mask = (out_degrees[:, None] > in_degrees).astype(np.float32)
         else:
             kd, key = jax.random.split(key)
@@ -81,6 +87,15 @@ class MaskedLinear(Module):
         y = jnp.dot(x, w.T, preferred_element_type=x.dtype)
         if self.bias is not None:
             y = y + self.bias
+        return y
+
+    def call_transposed(self, x):
+        """``y^T = (W*mask) @ x^T`` -> ``(out, batch)`` — transposed output
+        at identical MXU cost (see ``Linear.call_transposed``)."""
+        w = self.weight * self.mask
+        y = jnp.dot(w, x.T, preferred_element_type=x.dtype)
+        if self.bias is not None:
+            y = y + self.bias[:, None]
         return y
 
 
@@ -188,13 +203,18 @@ class MADE(Module):
     blocks: tuple
     final_layer: MaskedLinear
     preprocessing: Optional[Any] = None
+    # None, or (features, output_multiplier): the final masked matmul emits
+    # TRANSPOSED (out, batch) output with rows ordered bin-major
+    # (param-major, feature-minor) — see ResidualNet.bin_major_head.
+    bin_major_head: Optional[tuple] = static_field(default=None)
 
     @classmethod
     def create(cls, key, features, hidden_features, context_features=None,
                num_blocks=2, output_multiplier=1, use_residual_blocks=True,
                random_mask=False, permute_mask=False,
                activation=jax.nn.relu, dropout_probability=0.0,
-               use_batch_norm=False, preprocessing=None, dtype=jnp.float32):
+               use_batch_norm=False, preprocessing=None,
+               bin_major_head=False, dtype=jnp.float32):
         if use_residual_blocks and random_mask:
             raise ValueError("Residual blocks can't be used with random masks.")
         keys = jax.random.split(key, num_blocks + 4)
@@ -226,10 +246,14 @@ class MADE(Module):
         final = MaskedLinear.create(keys[-1], prev,
                                     features * output_multiplier, features,
                                     random_mask=random_mask, is_output=True,
-                                    out_degrees_=input_degrees_, dtype=dtype)
+                                    out_degrees_=input_degrees_,
+                                    bin_major=bool(bin_major_head),
+                                    dtype=dtype)
         return cls(initial_layer=initial, context_layer=ctx,
                    blocks=tuple(blocks), final_layer=final,
-                   preprocessing=preprocessing)
+                   preprocessing=preprocessing,
+                   bin_major_head=((features, output_multiplier)
+                                   if bin_major_head else None))
 
     def __call__(self, inputs, context=None, key=None):
         out = inputs if self.preprocessing is None \
@@ -240,4 +264,6 @@ class MADE(Module):
         for i, block in enumerate(self.blocks):
             bk = jax.random.fold_in(key, i) if key is not None else None
             out = block(out, context=context, key=bk)
+        if self.bin_major_head is not None:
+            return self.final_layer.call_transposed(out)
         return self.final_layer(out)

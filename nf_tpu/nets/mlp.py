@@ -46,6 +46,20 @@ class Linear(Module):
             y = y + self.bias
         return y
 
+    def call_transposed(self, x):
+        """``y^T = W @ x^T`` -> ``(out, batch)``.
+
+        Emits the layer's output TRANSPOSED at identical MXU cost: XLA folds
+        the ``x`` transpose into the ``dot_general`` contraction, so no
+        relayout is materialized. Used by bin-major conditioner heads so
+        spline parameters are born in the fused kernel's ``(K, N)`` layout
+        instead of paying the elementwise ``(N, K) -> (K, N)`` feed shuffle
+        (docs/kernels.md)."""
+        y = jnp.dot(self.weight, x.T, preferred_element_type=x.dtype)
+        if self.bias is not None:
+            y = y + self.bias[:, None]
+        return y
+
 
 def clamp_exp(x):
     """Nonlinearity ``min(exp(x), 1)`` (reference ``utils/nn.py:60``)."""

@@ -102,12 +102,20 @@ class ResidualNet(Module):
     preprocessing: Optional[Any] = None
     hidden_features: int = static_field(default=0)
     context_features: Optional[int] = static_field(default=None)
+    # None, or (features, mult): the head emits TRANSPOSED (out, batch)
+    # output with rows ordered bin-major (param-major, feature-minor) —
+    # spline params are born in the fused kernel's (K, N) layout and the
+    # elementwise (N, K) -> (K, N) feed shuffle disappears (docs/kernels.md).
+    # The reference layout is feature-major (B, features*mult); the two
+    # differ by a fixed row permutation of the final weight/bias
+    # (handled by nf_tpu.compat on import/export).
+    bin_major_head: Optional[tuple] = static_field(default=None)
 
     @classmethod
     def create(cls, key, in_features, out_features, hidden_features,
                context_features=None, num_blocks=2, activation=jax.nn.relu,
                dropout_probability=0.0, use_batch_norm=False,
-               preprocessing=None, dtype=jnp.float32):
+               preprocessing=None, bin_major_head=None, dtype=jnp.float32):
         keys = jax.random.split(key, num_blocks + 2)
         in_total = in_features + (context_features or 0)
         initial = Linear.create(keys[0], in_total, hidden_features,
@@ -120,10 +128,18 @@ class ResidualNet(Module):
             for i in range(num_blocks))
         final = Linear.create(keys[-1], hidden_features, out_features,
                               dtype=dtype)
+        if bin_major_head is not None:
+            feats, mult = bin_major_head
+            if feats * mult != out_features:
+                raise ValueError(
+                    f"bin_major_head {bin_major_head} does not factor "
+                    f"out_features={out_features}")
+            bin_major_head = (int(feats), int(mult))
         return cls(initial_layer=initial, blocks=blocks, final_layer=final,
                    preprocessing=preprocessing,
                    hidden_features=hidden_features,
-                   context_features=context_features)
+                   context_features=context_features,
+                   bin_major_head=bin_major_head)
 
     def __call__(self, inputs, context=None, key=None):
         temps = inputs if self.preprocessing is None \
@@ -136,6 +152,8 @@ class ResidualNet(Module):
         for i, block in enumerate(self.blocks):
             bk = jax.random.fold_in(key, i) if key is not None else None
             temps = block(temps, context=context, key=bk)
+        if self.bin_major_head is not None:
+            return self.final_layer.call_transposed(temps)
         return self.final_layer(temps)
 
 

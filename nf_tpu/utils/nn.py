@@ -58,9 +58,12 @@ class PeriodicFeaturesElementwise(Module):
             weights=jnp.ones((len(ind_a), 2), dtype),
             bias=jnp.zeros((len(ind_a),), dtype) if bias else None,
             scale=scale_arr,
-            ind=jnp.asarray(ind_a),
-            ind_=jnp.asarray(other),
-            inv_perm=jnp.asarray(inv_perm),
+            # explicit int dtype: an EMPTY index list (all features
+            # circular) would otherwise default to a float array, which is
+            # an invalid indexer
+            ind=jnp.asarray(ind_a, jnp.int32),
+            ind_=jnp.asarray(other, jnp.int32),
+            inv_perm=jnp.asarray(inv_perm, jnp.int32),
             ndim=ndim,
             activation=activation,
         )
@@ -90,8 +93,8 @@ class PeriodicFeaturesCat(Module):
     def create(cls, ndim, ind, scale=1.0, dtype=jnp.float32):
         ind_a, other, _ = _complement_indices(ndim, ind)
         scale_arr = jnp.broadcast_to(jnp.asarray(scale, dtype), (len(ind_a),))
-        return cls(scale=scale_arr, ind=jnp.asarray(ind_a),
-                   ind_=jnp.asarray(other), ndim=ndim)
+        return cls(scale=scale_arr, ind=jnp.asarray(ind_a, jnp.int32),
+                   ind_=jnp.asarray(other, jnp.int32), ndim=ndim)
 
     def __call__(self, inputs):
         x = inputs[..., self.ind] * self.scale

@@ -263,9 +263,15 @@ def _copy_residual_net(torch_net, jax_net):
             jl.replace(weight=_t2j(rl.weight), bias=_t2j(rl.bias))
             for rl, jl in zip(rb.linear_layers, jb.linears))
         blocks.append(jb.replace(linears=linears))
-    final = jax_net.final_layer.replace(
-        weight=_t2j(torch_net.final_layer.weight),
-        bias=_t2j(torch_net.final_layer.bias))
+    final_w = _t2j(torch_net.final_layer.weight)
+    final_b = _t2j(torch_net.final_layer.bias)
+    if getattr(jax_net, "bin_major_head", None) is not None:
+        # our head emits bin-major rows; the reference layout is
+        # feature-major — same weights up to a fixed row permutation
+        from nf_tpu.compat import _head_to_bin_major
+        final_w = _head_to_bin_major(final_w, jax_net.bin_major_head)
+        final_b = _head_to_bin_major(final_b, jax_net.bin_major_head)
+    final = jax_net.final_layer.replace(weight=final_w, bias=final_b)
     return jax_net.replace(initial_layer=initial, blocks=tuple(blocks),
                            final_layer=final)
 

@@ -189,6 +189,77 @@ def check_image_nsf():
     print("IMAGE-NSF OK", flush=True)
 
 
+def check_nsf2d_bin_major():
+    """2D coupled NSF through the bin-major conditioner head (the default):
+    trains on-device, and agrees with the feature-major variant at
+    permuted-identical parameters (pallas k-major vs generic kernels)."""
+    import nf_tpu.flows as nff
+    from nf_tpu.compat import _head_to_bin_major
+
+    # layer-level A/B at pallas sizes: same head weights modulo the fixed
+    # row permutation must give identical outputs through DIFFERENT kernels
+    # (k-major fast feed vs the (N,K) generic feed)
+    kwargs = dict(num_input_channels=4, num_blocks=2,
+                  num_hidden_channels=32, num_bins=8, tail_bound=3.0)
+    a = nff.CoupledRationalQuadraticSpline.create(
+        jax.random.PRNGKey(3), bin_major_head=True, **kwargs)
+    b = nff.CoupledRationalQuadraticSpline.create(
+        jax.random.PRNGKey(3), bin_major_head=False, **kwargs)
+    head = a.prqct.transform_net.bin_major_head
+    rng = np.random.RandomState(0)
+    w = rng.randn(*b.prqct.transform_net.final_layer.weight.shape) \
+        .astype(np.float32) * 0.3
+    bias = rng.randn(*b.prqct.transform_net.final_layer.bias.shape) \
+        .astype(np.float32) * 0.3
+
+    def with_head(mod, weight, bias):
+        net = mod.prqct.transform_net
+        net = net.replace(final_layer=net.final_layer.replace(
+            weight=jnp.asarray(weight), bias=jnp.asarray(bias)))
+        return mod.replace(prqct=mod.prqct.replace(transform_net=net))
+
+    a = with_head(a, _head_to_bin_major(w, head),
+                  _head_to_bin_major(bias, head))
+    b = with_head(b, w, bias)
+    x = jax.random.normal(jax.random.PRNGKey(4), (4096, 4)) * 2
+    for direction in ("forward", "inverse"):
+        za, lda = jax.jit(getattr(a, direction))(x)
+        zb, ldb = jax.jit(getattr(b, direction))(x)
+        dz = float(jnp.max(jnp.abs(za - zb)))
+        dl = float(jnp.max(jnp.abs(lda - ldb)))
+        assert dz < 1e-4 and dl < 1e-3, \
+            f"bin-major vs generic {direction}: dz={dz} dl={dl}"
+        print(f"  bin-major vs feature-major {direction}: "
+              f"dz {dz:.2e}, dld {dl:.2e}", flush=True)
+
+    # end-to-end: forward-KLD training through the fast feed
+    key = jax.random.PRNGKey(0)
+    model = models.build_nsf(key, dim=2, K=4, hidden=64, num_bins=8)
+    from nf_tpu.distributions import TwoMoons
+    tm = TwoMoons()
+    x_tr = tm.sample(jax.random.PRNGKey(1), 4096)
+    params, static = partition(model)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x):
+        loss, grads = jax.value_and_grad(
+            lambda p: combine(p, static).forward_kld(x))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for it in range(300):
+        params, opt_state, loss = step(params, opt_state, x_tr)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0] - 0.5, \
+        f"2D NSF no convergence: {losses[0]:.2f} -> {losses[-1]:.2f}"
+    print(f"  2D NSF forward-KLD {losses[0]:.2f} -> {losses[-1]:.2f} "
+          "(bin-major default)", flush=True)
+    print("NSF2D BIN-MAJOR OK", flush=True)
+
+
 def check_serving():
     """AOT serving path: class-cond sampler + bucketed ragged log_prob."""
     import numpy as np
@@ -320,6 +391,7 @@ SECTIONS = {
     "residual": check_residual_reverse_kld,
     "data": check_data_pipeline,
     "image_nsf": check_image_nsf,
+    "nsf2d": check_nsf2d_bin_major,
     "serving": check_serving,
     "compat": check_compat,
     "export": check_export,
