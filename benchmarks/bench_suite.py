@@ -237,6 +237,25 @@ def bench_spline(n=1 << 21, K=8, reps=16):
         dt = timed_chain(make_body(use_pallas, True), x0, r, label=name)
         record(name, n / dt / 1e9, "Gelem/s", elements=n, num_bins=K)
 
+    # bin-major as-fed: params born in the kernel's (K, N) layout — what 2D
+    # models pay since the conditioner heads emit transposed bin-major
+    # output (`Linear.call_transposed`); the (N,K)->(K,N) feed shuffle the
+    # plain as_fed row measures no longer exists on this path
+    uw_t = jax.random.normal(ks[1], (K, n))
+    uh_t = jax.random.normal(ks[2], (K, n))
+    ud_t = jax.random.normal(ks[3], (K - 1, n))
+
+    def body_kmajor(x):
+        eps = x[None, :] * 1e-12
+        y, ld = splines.unconstrained_rational_quadratic_spline_kmajor(
+            x, uw_t + eps, uh_t + eps, ud_t + eps, tails="linear",
+            tail_bound=2.5)
+        return jnp.clip(y + ld * 1e-9, -3.0, 3.0)
+
+    dt = timed_chain(body_kmajor, x0, reps, label="rqs_asfed_kmajor")
+    record("rqs_spline_pallas_as_fed_kmajor", n / dt / 1e9, "Gelem/s",
+           elements=n, num_bins=K)
+
 
 def bench_nsf_sample_logprob(batch=1 << 14, K=8, hidden=128, reps=64):
     key = jax.random.PRNGKey(0)
@@ -370,8 +389,11 @@ def bench_residual_train_step(batch=1 << 9, K=16, hidden=128, reps=12):
            loss=float(loss), note="incl. update_lipschitz(50) per step")
 
 
-def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=32,
+def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=64,
                     mixed_precision=False):
+    # reps doubled 32 -> 64 in round 4: the f32 row's x1.146 spread was the
+    # widest in results_median.json and underpins the f32/bf16-parity
+    # claim; the longer chain brings it under the <1.15x sizing target.
     import optax
 
     from nf_tpu.parallel import init_train_state, make_forward_kld_step

@@ -171,10 +171,13 @@ CANNOT_RUN = {
     "rqs_spline_pallas_kernel": (
         "reference spline is an eager op composition, measured as "
         "rqs_spline gather lowering in BASELINE.md (~0.008 Gelem/s)"),
+    "rqs_spline_pallas_as_fed_kmajor": (
+        "reference has no bin-major parameter layout; its eager spline "
+        "always consumes (N, K) feature-major params"),
 }
 
 
-def main():
+def _run_all():
     print(f"torch {torch.__version__}, threads {torch.get_num_threads()}")
     bench_realnvp_roundtrip()
     bench_nsf_logprob()
@@ -183,12 +186,78 @@ def main():
     bench_hais()
     bench_residual_train_step()
 
+
+def _fingerprint():
+    import platform
+
+    return {"cpu_count": os.cpu_count(), "machine": platform.machine(),
+            "torch": torch.__version__,
+            "threads": torch.get_num_threads()}
+
+
+def cmd_pin(runs=3):
+    """Median-of-N pinned reference columns (same methodology as the jax
+    suite's ``run_suite_median.py``: fresh process per run, per-metric
+    median + spread), recorded with the environment fingerprint in
+    ``baseline_records.json`` and merged as ``reference`` blocks into
+    ``results.json``. Quiesce the host first (this is the 1-CPU box)."""
+    import statistics
+    import subprocess
+
+    per_run = []
+    for i in range(runs):
+        out = os.path.join(HERE, f"out/torch_ref_run{i}.json")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--out", out],
+            cwd=os.path.dirname(HERE), capture_output=True, text=True)
+        if r.returncode != 0:
+            print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"reference run {i} failed")
+        with open(out) as f:
+            per_run.append(json.load(f)["metrics"])
+        print(f"run {i}: {time.time() - t0:.0f}s", flush=True)
+
+    agg = {}
+    for name in per_run[0]:
+        vals = [rm[name]["value"] for rm in per_run if name in rm]
+        agg[name] = dict(per_run[-1][name])
+        agg[name].update({
+            "value": round(statistics.median(vals), 2),
+            "runs": [round(v, 2) for v in vals],
+            "spread": round(max(vals) / max(min(vals), 1e-12), 3),
+            "median_of": len(vals),
+        })
+        print(f"{name}: median {agg[name]['value']} "
+              f"{agg[name].get('unit', '')} (spread x{agg[name]['spread']})",
+              flush=True)
+
+    rec_path = os.path.join(HERE, "baseline_records.json")
+    records = []
+    if os.path.exists(rec_path):
+        with open(rec_path) as f:
+            records = json.load(f)
+    records = [r for r in records if "suite_reference" not in r]
+    records.append({
+        "fingerprint": _fingerprint(),
+        "suite_reference": agg,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S")})
+    with open(rec_path, "w") as f:
+        json.dump(records, f, indent=1)
+    print("pinned medians into", rec_path)
+
+    _merge(agg)
+
+
+def _merge(ref_metrics):
     if os.path.exists(RESULTS_PATH):
         with open(RESULTS_PATH) as f:
             results = json.load(f)
         for name, metric in results.get("metrics", {}).items():
-            if name in REF:
-                ref = REF[name]
+            if name in ref_metrics:
+                ref = ref_metrics[name]
                 metric["reference"] = ref
                 if ref["value"]:
                     metric["vs_reference"] = round(
@@ -203,6 +272,29 @@ def main():
         print("merged reference columns into", RESULTS_PATH)
     else:
         print("results.json not found; reference numbers printed only")
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default=None,
+                    help="single run: dump metrics json here, no merge")
+    ap.add_argument("--pin", action="store_true",
+                    help="median-of-N pinned columns (fresh process per "
+                         "run) -> baseline_records.json + results.json")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    if args.pin:
+        cmd_pin(args.runs)
+        return
+    _run_all()
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"metrics": REF}, f, indent=2)
+        print("wrote", args.out)
+    else:
+        _merge(REF)
 
 
 if __name__ == "__main__":

@@ -371,7 +371,11 @@ def cmd_report(args):
     for p in sorted(glob.glob(os.path.join(OUT, f"glow_ab{tag}_torch*.jsonl"))
                     + glob.glob(os.path.join(OUT, f"glow_ab{tag}_jax*.jsonl"))):
         with open(p) as f:
-            rows += [json.loads(line) for line in f if line.strip()]
+            rows += [r for r in (json.loads(line) for line in f
+                                 if line.strip())
+                     if "eval_set" not in r]  # matched table: shared
+            # 512-image arrays only; the extra8192 tail rows are reported
+            # separately (docs/accuracy.md)
     by = {}
     for r in rows:
         by.setdefault((r["iter"], r["framework"]), []).append(r)

@@ -71,9 +71,8 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         if bin_major_head and not (
                 tails in ("linear", "circular")
                 or (isinstance(tails, (list, tuple))
-                    and len(set(tails)) == 1
-                    and tails[0] in ("linear", "circular"))):
-            bin_major_head = False  # mixed tails: generic feed only
+                    and set(tails) <= {"linear", "circular"})):
+            bin_major_head = False  # unbounded (None) tails: generic feed
         made = MADE.create(
             key, features=features, hidden_features=hidden_features,
             context_features=context_features, num_blocks=num_blocks,
@@ -143,22 +142,30 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         (docs/kernels.md). Requires homogeneous 'linear'/'circular' tails
         (``MADE.create(bin_major_head=...)`` guarantees it)."""
         batch = inputs.shape[0]
-        homo = self.tails if isinstance(self.tails, str) else self.tails[0]
         p = autoregressive_params.reshape(-1, self.features, batch)
         uw = p[: self.num_bins] * self.softmax_scale
         uh = p[self.num_bins:2 * self.num_bins] * self.softmax_scale
         ud = p[2 * self.num_bins:]
-        if ud.shape[0] == self.num_bins + 1:
-            # per-feature-tails K+1 param count: the tail padding overwrites
-            # the first/last entries, so slice to the scalar-variant planes
-            ud = ud[1:self.num_bins] if homo == "linear" \
-                else ud[: self.num_bins]
+        if isinstance(self.tails, tuple) and len(set(self.tails)) > 1:
+            # mixed per-feature tails: K+1 derivative planes pass through;
+            # the k-major entry applies the per-feature padding along the
+            # feature axis (axis 0 of the transposed data)
+            tails_arg = list(self.tails)
+        else:
+            tails_arg = self.tails if isinstance(self.tails, str) \
+                else self.tails[0]
+            if ud.shape[0] == self.num_bins + 1:
+                # per-feature-tails K+1 param count, homogeneous: the tail
+                # padding overwrites the first/last entries, so slice to
+                # the scalar-variant planes
+                ud = ud[1:self.num_bins] if tails_arg == "linear" \
+                    else ud[: self.num_bins]
         tb = self.tail_bound_arr if self.tail_bound_arr is not None \
             else self.tail_bound
         if self.tail_bound_arr is not None:
             tb = tb.reshape(-1, 1)  # per-feature bounds over (D, B) data
         y_t, ld_t = splines.unconstrained_rational_quadratic_spline_kmajor(
-            inputs.T, uw, uh, ud, inverse=inverse, tails=homo,
+            inputs.T, uw, uh, ud, inverse=inverse, tails=tails_arg,
             tail_bound=tb, min_bin_width=self.min_bin_width,
             min_bin_height=self.min_bin_height,
             min_derivative=self.min_derivative)

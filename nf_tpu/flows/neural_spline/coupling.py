@@ -342,6 +342,8 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
 
     def _coupling_transform(self, inputs, transform_params, inverse):
         homo = self._homogeneous_tails()
+        mixed = (isinstance(self.tails, tuple)
+                 and set(self.tails) <= {"linear", "circular"})
         net_bin_major = getattr(self.transform_net, "bin_major_head", None)
         if net_bin_major is not None:
             # head emits (mult*D, B) with rows bin-major: zero-copy view to
@@ -349,10 +351,18 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
             b = inputs.shape[0]
             d = net_bin_major[0]
             p = transform_params.reshape(-1, d, b)
-            if inputs.ndim == 2 and homo is not None:
+            if inputs.ndim == 2 and (homo is not None or mixed):
                 uw = p[: self.num_bins] * self.softmax_scale
                 uh = p[self.num_bins:2 * self.num_bins] * self.softmax_scale
-                ud = self._slice_ud_planes(p[2 * self.num_bins:], homo)
+                if homo is not None:
+                    ud = self._slice_ud_planes(p[2 * self.num_bins:], homo)
+                    tails_arg = homo
+                else:
+                    # mixed per-feature tails: all K+1 planes pass through;
+                    # the k-major entry pads along the feature axis (axis 0
+                    # of the transposed data)
+                    ud = p[2 * self.num_bins:]
+                    tails_arg = list(self.tails)
                 tb = self.tail_bound_arr if self.tail_bound_arr is not None \
                     else self.tail_bound
                 if self.tail_bound_arr is not None:
@@ -361,7 +371,7 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
                 # one plane each way vs 3K+1 param planes (docs/kernels.md)
                 y_t, ld_t = \
                     splines.unconstrained_rational_quadratic_spline_kmajor(
-                        x_t, uw, uh, ud, inverse=inverse, tails=homo,
+                        x_t, uw, uh, ud, inverse=inverse, tails=tails_arg,
                         tail_bound=tb, min_bin_width=self.min_bin_width,
                         min_bin_height=self.min_bin_height,
                         min_derivative=self.min_derivative)

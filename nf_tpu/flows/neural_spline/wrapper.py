@@ -45,8 +45,7 @@ def _head_splits(mask, num_bins, tails):
     _, transform_features = Coupling.split_mask(mask)
     if isinstance(tails, (list, tuple)):
         tails_t = {tails[i] for i in transform_features}
-        if len(tails_t) != 1 or next(iter(tails_t)) not in ("linear",
-                                                            "circular"):
+        if not tails_t <= {"linear", "circular"}:
             return None
         mult = 3 * num_bins + 1
     elif tails == "linear":

@@ -274,13 +274,17 @@ def unconstrained_rational_quadratic_spline_kmajor(
 
     ``unnormalized_widths``/``heights``: ``(K, *inputs.shape)``;
     ``unnormalized_derivatives``: ``(K-1, ...)`` for 'linear' tails /
-    ``(K, ...)`` for 'circular'. This layout lets conv conditioners feed
+    ``(K, ...)`` for 'circular' / ``(K+1, ...)`` for a per-feature
+    list/tuple of tail types, which aligns with **axis 0 of ``inputs``**
+    (the feature-major data layout the bin-major model feeds use:
+    ``x`` arrives as ``(D, batch)``). This layout lets conditioners feed
     the fused Pallas kernel WITHOUT the elementwise ``(N,K) -> (K,N)``
-    transpose (their ``(B, C*3K, H, W)`` output is already bin-major of
-    the spatial dims — getting here moves contiguous H*W chunks). Tail
-    derivative padding happens along axis 0 (cheap row concat). Off-TPU
-    (or with the kernel disabled) the params move to bin-minor and run the
-    dense path — numerics identical to the generic entry point.
+    transpose (a conv's ``(B, C*3K, H, W)`` output is already bin-major of
+    the spatial dims; a bin-major matmul head emits ``(3K*D, B)``
+    directly). Tail derivative padding happens along axis 0 (cheap row
+    concat). Off-TPU (or with the kernel disabled) the params move to
+    bin-minor and run the dense path — numerics identical to the generic
+    entry point.
     """
     constant = float(np.log(np.exp(1 - min_derivative) - 1))
     ud = unnormalized_derivatives
@@ -289,10 +293,24 @@ def unconstrained_rational_quadratic_spline_kmajor(
         ud = jnp.concatenate([edge, ud, edge], axis=0)
     elif tails == "circular":
         ud = jnp.concatenate([ud, ud[:1]], axis=0)
+    elif isinstance(tails, (list, tuple)):
+        # per-feature tails along inputs axis 0; ud has K+1 planes whose
+        # first/last entries the padding overwrites (same semantics as the
+        # generic entry's list branch, transposed)
+        lin = np.asarray([t == "linear" for t in tails])
+        circ = np.asarray([t == "circular" for t in tails])
+        if not np.all(lin | circ):
+            raise RuntimeError(f"{tails} tails are not implemented.")
+        bshape = (len(tails),) + (1,) * (inputs.ndim - 1)
+        lin_b = jnp.asarray(lin).reshape(bshape)
+        circ_b = jnp.asarray(circ).reshape(bshape)
+        first = jnp.where(lin_b, constant, ud[0])
+        last = jnp.where(lin_b, constant,
+                         jnp.where(circ_b, ud[0], ud[-1]))
+        ud = jnp.concatenate([first[None], ud[1:-1], last[None]], axis=0)
     else:
         raise RuntimeError(
-            f"{tails!r} tails are not supported by the k-major entry "
-            "(per-feature mixed tails go through the generic path)")
+            f"{tails!r} tails are not supported by the k-major entry")
 
     tb = jnp.broadcast_to(jnp.asarray(tail_bound, inputs.dtype),
                           inputs.shape)

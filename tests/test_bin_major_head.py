@@ -133,12 +133,60 @@ def test_ar_rqs_bin_major_equals_generic():
     _check_equal(a, b, x, atol=1e-4)
 
 
-def test_circular_ar_mixed_tails_disables_bin_major():
-    m = nff.CircularAutoregressiveRationalQuadraticSpline.create(
-        jax.random.PRNGKey(0), num_input_channels=2, num_blocks=2,
-        num_hidden_channels=16, ind_circ=[0], num_bins=4,
-        tail_bound=jnp.asarray([np.pi, 3.0]), bin_major_head=True)
-    assert m.mprqat.autoregressive_net.bin_major_head is None
+def _copy_made_head(a, b, seed):
+    """Same random MADE head on both variants (permuted for the bin-major
+    one); returns the updated (a, b)."""
+    head = a.mprqat.autoregressive_net.bin_major_head
+    assert head is not None
+    ga = a.mprqat.autoregressive_net
+    gb = b.mprqat.autoregressive_net
+    rng = np.random.RandomState(seed)
+    w = rng.randn(*gb.final_layer.weight.shape).astype(np.float32) * 0.3
+    bias = rng.randn(*gb.final_layer.bias.shape).astype(np.float32) * 0.3
+    a = a.replace(mprqat=a.mprqat.replace(
+        autoregressive_net=ga.replace(final_layer=ga.final_layer.replace(
+            weight=jnp.asarray(_head_to_bin_major(w, head)),
+            bias=jnp.asarray(_head_to_bin_major(bias, head))))))
+    b = b.replace(mprqat=b.mprqat.replace(
+        autoregressive_net=gb.replace(final_layer=gb.final_layer.replace(
+            weight=jnp.asarray(w), bias=jnp.asarray(bias)))))
+    return a, b
+
+
+def test_circular_ar_mixed_tails_bin_major_equals_generic():
+    """The cylinder flagship config (mixed circular/linear tails) rides the
+    bin-major fast feed via per-feature derivative padding in the k-major
+    entry."""
+    kwargs = dict(num_input_channels=2, num_blocks=2,
+                  num_hidden_channels=16, ind_circ=[0], num_bins=4,
+                  tail_bound=jnp.asarray([np.pi, 3.0]), permute_mask=False)
+    a = nff.CircularAutoregressiveRationalQuadraticSpline.create(
+        jax.random.PRNGKey(0), bin_major_head=True, **kwargs)
+    b = nff.CircularAutoregressiveRationalQuadraticSpline.create(
+        jax.random.PRNGKey(0), bin_major_head=False, **kwargs)
+    assert a.mprqat.autoregressive_net.bin_major_head is not None
+    a, b = _copy_made_head(a, b, seed=6)
+    x = jnp.asarray(
+        np.random.RandomState(7).randn(6, 2).astype(np.float32))
+    _check_equal(a, b, x, atol=1e-4)
+
+
+def test_mixed_circular_coupling_bin_major_equals_generic():
+    """Mixed tails inside one coupling's transform half (D=3, one circular
+    feature): the 2D bin-major branch with K+1 derivative planes."""
+    kwargs = dict(num_input_channels=3, num_blocks=2,
+                  num_hidden_channels=16, ind_circ=[0], num_bins=4,
+                  tail_bound=np.pi, reverse_mask=True)
+    a = nff.CircularCoupledRationalQuadraticSpline.create(
+        jax.random.PRNGKey(0), bin_major_head=True, **kwargs)
+    b = nff.CircularCoupledRationalQuadraticSpline.create(
+        jax.random.PRNGKey(0), bin_major_head=False, **kwargs)
+    assert a.prqct.transform_net.bin_major_head is not None
+    assert isinstance(a.prqct.tails, tuple) and len(set(a.prqct.tails)) > 1
+    a, b = _randomize_heads(a, b, ("prqct", "transform_net"), seed=8)
+    x = jnp.asarray(
+        np.random.RandomState(9).randn(8, 3).astype(np.float32))
+    _check_equal(a, b, x)
 
 
 def test_bin_major_roundtrip_invariants():

@@ -232,6 +232,40 @@ def check_nsf2d_bin_major():
         print(f"  bin-major vs feature-major {direction}: "
               f"dz {dz:.2e}, dld {dl:.2e}", flush=True)
 
+    # mixed circular/linear tails (the cylinder flagship config) through
+    # the same fast feed: per-feature derivative padding in the k-major
+    # entry, A/B'd against the feature-major generic path on-device
+    ka = nff.CircularAutoregressiveRationalQuadraticSpline.create(
+        jax.random.PRNGKey(5), num_input_channels=2, num_blocks=2,
+        num_hidden_channels=32, ind_circ=[0], num_bins=8,
+        tail_bound=jnp.asarray([np.pi, 3.0]), permute_mask=False,
+        bin_major_head=True)
+    kb = nff.CircularAutoregressiveRationalQuadraticSpline.create(
+        jax.random.PRNGKey(5), num_input_channels=2, num_blocks=2,
+        num_hidden_channels=32, ind_circ=[0], num_bins=8,
+        tail_bound=jnp.asarray([np.pi, 3.0]), permute_mask=False,
+        bin_major_head=False)
+    headm = ka.mprqat.autoregressive_net.bin_major_head
+    assert headm is not None
+    ga, gb = ka.mprqat.autoregressive_net, kb.mprqat.autoregressive_net
+    wm = rng.randn(*gb.final_layer.weight.shape).astype(np.float32) * 0.3
+    bm = rng.randn(*gb.final_layer.bias.shape).astype(np.float32) * 0.3
+    ka = ka.replace(mprqat=ka.mprqat.replace(
+        autoregressive_net=ga.replace(final_layer=ga.final_layer.replace(
+            weight=jnp.asarray(_head_to_bin_major(wm, headm)),
+            bias=jnp.asarray(_head_to_bin_major(bm, headm))))))
+    kb = kb.replace(mprqat=kb.mprqat.replace(
+        autoregressive_net=gb.replace(final_layer=gb.final_layer.replace(
+            weight=jnp.asarray(wm), bias=jnp.asarray(bm)))))
+    xc = jax.random.normal(jax.random.PRNGKey(6), (4096, 2)) * 2
+    za, lda = jax.jit(ka.forward)(xc)
+    zb, ldb = jax.jit(kb.forward)(xc)
+    dz = float(jnp.max(jnp.abs(za - zb)))
+    dl = float(jnp.max(jnp.abs(lda - ldb)))
+    assert dz < 1e-4 and dl < 1e-3, f"mixed-tails AR: dz={dz} dl={dl}"
+    print(f"  mixed-tails circular AR bin-major vs generic: dz {dz:.2e}, "
+          f"dld {dl:.2e}", flush=True)
+
     # end-to-end: forward-KLD training through the fast feed
     key = jax.random.PRNGKey(0)
     model = models.build_nsf(key, dim=2, K=4, hidden=64, num_bins=8)
