@@ -63,7 +63,7 @@ class MaskedAffineAutoregressive(Autoregressive):
                num_blocks=2, use_residual_blocks=True, random_mask=False,
                activation=jax.nn.relu, dropout_probability=0.0,
                use_batch_norm=False, mixed_precision=False,
-               dtype=jnp.float32):
+               bin_major_head=True, dtype=jnp.float32):
         from ..nets.made import MADE
         from ..nets.precision import MixedPrecision
 
@@ -73,23 +73,42 @@ class MaskedAffineAutoregressive(Autoregressive):
             output_multiplier=2, use_residual_blocks=use_residual_blocks,
             random_mask=random_mask, activation=activation,
             dropout_probability=dropout_probability,
-            use_batch_norm=use_batch_norm, dtype=dtype)
+            use_batch_norm=use_batch_norm,
+            bin_major_head=bin_major_head, dtype=dtype)
         if mixed_precision:
             made = MixedPrecision(net=made)
         return cls(autoregressive_net=made, features=features)
 
     def _scale_shift(self, autoregressive_params):
-        p = autoregressive_params.reshape(-1, self.features, 2)
-        unconstrained_scale, shift = p[..., 0], p[..., 1]
+        if getattr(self.autoregressive_net, "bin_major_head", None) \
+                is not None:
+            # head emits (2*D, B) with rows param-major: scale/shift are
+            # contiguous (D, B) planes instead of stride-2 slices of the
+            # feature-major layout; callers transpose data to match
+            p = autoregressive_params.reshape(2, self.features, -1)
+            unconstrained_scale, shift = p[0], p[1]
+        else:
+            p = autoregressive_params.reshape(-1, self.features, 2)
+            unconstrained_scale, shift = p[..., 0], p[..., 1]
         scale = jax.nn.sigmoid(unconstrained_scale + 2.0) + 1e-3
         return scale, shift
 
+    def _bin_major(self):
+        return getattr(self.autoregressive_net, "bin_major_head", None) \
+            is not None
+
     def _elementwise_forward(self, inputs, autoregressive_params):
         scale, shift = self._scale_shift(autoregressive_params)
+        if self._bin_major():
+            outputs = (scale * inputs.T + shift).T
+            return outputs, jnp.sum(jnp.log(scale), axis=0)
         outputs = scale * inputs + shift
         return outputs, sum_except_batch(jnp.log(scale))
 
     def _elementwise_inverse(self, inputs, autoregressive_params):
         scale, shift = self._scale_shift(autoregressive_params)
+        if self._bin_major():
+            outputs = ((inputs.T - shift) / scale).T
+            return outputs, -jnp.sum(jnp.log(scale), axis=0)
         outputs = (inputs - shift) / scale
         return outputs, -sum_except_batch(jnp.log(scale))

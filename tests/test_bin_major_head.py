@@ -189,6 +189,33 @@ def test_mixed_circular_coupling_bin_major_equals_generic():
     _check_equal(a, b, x)
 
 
+def test_maf_bin_major_equals_generic():
+    """MaskedAffineAutoregressive: scale/shift as contiguous (D, B) planes
+    vs the feature-major stride-2 layout — same function up to the head row
+    permutation."""
+    kwargs = dict(features=4, hidden_features=16, num_blocks=2)
+    a = nff.MaskedAffineAutoregressive.create(
+        jax.random.PRNGKey(0), bin_major_head=True, **kwargs)
+    b = nff.MaskedAffineAutoregressive.create(
+        jax.random.PRNGKey(0), bin_major_head=False, **kwargs)
+    head = a.autoregressive_net.bin_major_head
+    assert head == (4, 2)
+    ga, gb = a.autoregressive_net, b.autoregressive_net
+    rng = np.random.RandomState(11)
+    w = rng.randn(*gb.final_layer.weight.shape).astype(np.float32) * 0.3
+    bias = rng.randn(*gb.final_layer.bias.shape).astype(np.float32) * 0.3
+    a = a.replace(autoregressive_net=ga.replace(
+        final_layer=ga.final_layer.replace(
+            weight=jnp.asarray(_head_to_bin_major(w, head)),
+            bias=jnp.asarray(_head_to_bin_major(bias, head)))))
+    b = b.replace(autoregressive_net=gb.replace(
+        final_layer=gb.final_layer.replace(
+            weight=jnp.asarray(w), bias=jnp.asarray(bias))))
+    x = jnp.asarray(np.random.RandomState(12).randn(6, 4)
+                    .astype(np.float32))
+    _check_equal(a, b, x, atol=1e-5)
+
+
 def test_bin_major_roundtrip_invariants():
     a = nff.CoupledRationalQuadraticSpline.create(
         jax.random.PRNGKey(7), num_input_channels=4, num_blocks=2,

@@ -150,7 +150,15 @@ def test_maf_made_parity(nf_ref):
         linears = tuple(_copy_masked_linear(rl, jl) for rl, jl in
                         zip(rb.linear_layers, jb.linears))
         blocks.append(jb.replace(linears=linears))
-    final = _copy_masked_linear(rnet.final_layer, jnet.final_layer)
+    head = jnet.bin_major_head  # (features, 2): our head is bin-major
+    from nf_tpu.compat import _head_to_bin_major
+    np.testing.assert_array_equal(
+        np.asarray(_head_to_bin_major(
+            _t2j(rnet.final_layer.mask), head)),
+        np.asarray(jnet.final_layer.mask))
+    final = jnet.final_layer.replace(
+        weight=_head_to_bin_major(_t2j(rnet.final_layer.weight), head),
+        bias=_head_to_bin_major(_t2j(rnet.final_layer.bias), head))
     jnet = jnet.replace(initial_layer=initial, blocks=tuple(blocks),
                         final_layer=final)
     ours = ours.replace(autoregressive_net=jnet)

@@ -266,6 +266,36 @@ def check_nsf2d_bin_major():
     print(f"  mixed-tails circular AR bin-major vs generic: dz {dz:.2e}, "
           f"dld {dl:.2e}", flush=True)
 
+    # affine MAF through the param-major head: scale/shift as contiguous
+    # (D, B) planes vs the feature-major stride-2 layout, on-device
+    ma = nff.MaskedAffineAutoregressive.create(
+        jax.random.PRNGKey(7), features=4, hidden_features=32,
+        num_blocks=2, bin_major_head=True)
+    mb = nff.MaskedAffineAutoregressive.create(
+        jax.random.PRNGKey(7), features=4, hidden_features=32,
+        num_blocks=2, bin_major_head=False)
+    headf = ma.autoregressive_net.bin_major_head
+    ga, gb = ma.autoregressive_net, mb.autoregressive_net
+    wf = rng.randn(*gb.final_layer.weight.shape).astype(np.float32) * 0.3
+    bf = rng.randn(*gb.final_layer.bias.shape).astype(np.float32) * 0.3
+    ma = ma.replace(autoregressive_net=ga.replace(
+        final_layer=ga.final_layer.replace(
+            weight=jnp.asarray(_head_to_bin_major(wf, headf)),
+            bias=jnp.asarray(_head_to_bin_major(bf, headf)))))
+    mb = mb.replace(autoregressive_net=gb.replace(
+        final_layer=gb.final_layer.replace(
+            weight=jnp.asarray(wf), bias=jnp.asarray(bf))))
+    xm = jax.random.normal(jax.random.PRNGKey(8), (4096, 4))
+    for direction in ("forward", "inverse"):
+        za, lda = jax.jit(getattr(ma, direction))(xm)
+        zb, ldb = jax.jit(getattr(mb, direction))(xm)
+        dz = float(jnp.max(jnp.abs(za - zb)))
+        dl = float(jnp.max(jnp.abs(lda - ldb)))
+        assert dz < 1e-4 and dl < 1e-3, \
+            f"MAF bin-major vs generic {direction}: dz={dz} dl={dl}"
+        print(f"  affine MAF bin-major vs feature-major {direction}: "
+              f"dz {dz:.2e}, dld {dl:.2e}", flush=True)
+
     # end-to-end: forward-KLD training through the fast feed
     key = jax.random.PRNGKey(0)
     model = models.build_nsf(key, dim=2, K=4, hidden=64, num_bins=8)
