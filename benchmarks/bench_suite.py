@@ -453,20 +453,34 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default=None,
                     help="write metrics to this path instead of merging "
                          "into results.json (used by run_suite_median.py)")
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter over bench labels: re-measure a "
+                         "noisy row with more repetitions without paying "
+                         "for the whole suite (labels: realnvp, spline, "
+                         "nsf_logprob, maf, ar_nsf, hais, residual, glow, "
+                         "glow_bf16, image_nsf)")
     args = ap.parse_args(argv)
 
     enable_compilation_cache()
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-    bench_realnvp_roundtrip()
-    bench_spline()
-    bench_nsf_sample_logprob()
-    bench_maf_logprob()
-    bench_ar_nsf_sampling()
-    bench_hais()
-    bench_residual_train_step()
-    bench_glow_step()
-    bench_glow_step(mixed_precision=True)
-    bench_image_nsf_step()
+    benches = [
+        ("realnvp", bench_realnvp_roundtrip),
+        ("spline", bench_spline),
+        ("nsf_logprob", bench_nsf_sample_logprob),
+        ("maf", bench_maf_logprob),
+        ("ar_nsf", bench_ar_nsf_sampling),
+        ("hais", bench_hais),
+        ("residual", bench_residual_train_step),
+        ("glow", bench_glow_step),
+        ("glow_bf16", lambda: bench_glow_step(mixed_precision=True)),
+        ("image_nsf", bench_image_nsf_step),
+    ]
+    for label, fn in benches:
+        if args.only and args.only not in label:
+            continue
+        fn()
+    if args.only and not RESULTS:
+        raise SystemExit(f"--only {args.only!r} matched no bench labels")
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"backend": jax.default_backend(),

@@ -32,9 +32,16 @@ def main():
     ap.add_argument("--script", type=str, default="bench_suite.py",
                     help="bench script to run (must accept --out); e.g. "
                          "bench_glow_full.py for the full-recipe rows")
+    ap.add_argument("--only", type=str, default=None,
+                    help="passed through as the suite's --only label "
+                         "filter; medians for the measured rows are "
+                         "merge-updated into results_median.json instead "
+                         "of overwriting it")
     args = ap.parse_args()
     tag = os.path.splitext(os.path.basename(args.script))[0]
     tag = "suite" if tag == "bench_suite" else tag
+    if args.only:
+        tag = f"{tag}_only_{args.only}"
 
     run_metrics = []
     for i in range(args.runs):
@@ -46,10 +53,12 @@ def main():
             print(f"run {i}: reused {out}", flush=True)
             continue
         t0 = time.time()
+        cmd = [sys.executable, os.path.join(HERE, args.script),
+               "--out", out]
+        if args.only:
+            cmd += ["--only", args.only]
         r = subprocess.run(
-            [sys.executable, os.path.join(HERE, args.script),
-             "--out", out],
-            cwd=os.path.dirname(HERE), capture_output=True, text=True)
+            cmd, cwd=os.path.dirname(HERE), capture_output=True, text=True)
         if r.returncode != 0:
             print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
             raise SystemExit(f"suite run {i} failed")
@@ -71,10 +80,24 @@ def main():
         print(f"{name}: median {med:.2f} {agg[name].get('unit', '')} "
               f"(spread x{agg[name]['spread']})", flush=True)
 
-    med_path = (os.path.join(HERE, "results_median.json") if tag == "suite"
-                else os.path.join(HERE, f"out/{tag}_median.json"))
-    with open(med_path, "w") as f:
-        json.dump({"n_runs": args.runs, "metrics": agg}, f, indent=2)
+    if tag == "suite":
+        med_path = os.path.join(HERE, "results_median.json")
+        with open(med_path, "w") as f:
+            json.dump({"n_runs": args.runs, "metrics": agg}, f, indent=2)
+    else:
+        med_path = os.path.join(HERE, f"out/{tag}_median.json")
+        with open(med_path, "w") as f:
+            json.dump({"n_runs": args.runs, "metrics": agg}, f, indent=2)
+        if args.only:
+            # a targeted re-measure supersedes those rows in the pinned
+            # full-suite medians file
+            rm_path = os.path.join(HERE, "results_median.json")
+            if os.path.exists(rm_path):
+                with open(rm_path) as f:
+                    pinned = json.load(f)
+                pinned.setdefault("metrics", {}).update(agg)
+                with open(rm_path, "w") as f:
+                    json.dump(pinned, f, indent=2)
 
     results = os.path.join(HERE, "results.json")
     data = {}
