@@ -135,8 +135,10 @@ def bench_torch_reference():
         if os.path.exists(RECORDS_PATH):
             with open(RECORDS_PATH) as f:
                 records = json.load(f)
-            for rec in records:
-                if rec["fingerprint"] == fp:
+            # newest matching record wins: a later quiesced re-pin
+            # supersedes an earlier measurement under incidental host load
+            for rec in reversed(records):
+                if rec["fingerprint"] == fp and "cpu_samples_per_s" in rec:
                     return rec["cpu_samples_per_s"], rec
         else:
             records = []
