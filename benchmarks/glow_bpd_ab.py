@@ -348,7 +348,8 @@ def cmd_jax(args):
         x = jnp.asarray(dequantize(x_tr[idx], jitter_rng))
         y = jnp.asarray(y_tr[idx].astype(np.int32))
         params, opt_state, loss = step(params, opt_state, x, y)
-        if (it + 1) in EVAL_ITERS or (it + 1) == args.iters:
+        if (it + 1) in EVAL_ITERS or (it + 1) == args.iters \
+                or (extra is not None and (it + 1) in extra_iters):
             eval_bpd(params, it + 1, time.time() - t0)
         if it % 100 == 0:
             print(f"iter {it} loss {float(loss):+.1f} "

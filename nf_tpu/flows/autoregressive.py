@@ -79,9 +79,12 @@ class MaskedAffineAutoregressive(Autoregressive):
             made = MixedPrecision(net=made)
         return cls(autoregressive_net=made, features=features)
 
+    def _bin_major(self):
+        return getattr(self.autoregressive_net, "bin_major_head", None) \
+            is not None
+
     def _scale_shift(self, autoregressive_params):
-        if getattr(self.autoregressive_net, "bin_major_head", None) \
-                is not None:
+        if self._bin_major():
             # head emits (2*D, B) with rows param-major: scale/shift are
             # contiguous (D, B) planes instead of stride-2 slices of the
             # feature-major layout; callers transpose data to match
@@ -92,10 +95,6 @@ class MaskedAffineAutoregressive(Autoregressive):
             unconstrained_scale, shift = p[..., 0], p[..., 1]
         scale = jax.nn.sigmoid(unconstrained_scale + 2.0) + 1e-3
         return scale, shift
-
-    def _bin_major(self):
-        return getattr(self.autoregressive_net, "bin_major_head", None) \
-            is not None
 
     def _elementwise_forward(self, inputs, autoregressive_params):
         scale, shift = self._scale_shift(autoregressive_params)

@@ -139,37 +139,21 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         """Fused bin-major feed: the MADE head emits ``(mult*D, B)`` with
         rows param-major, a zero-copy view of the fused kernel's ``(K, N)``
         layout — only the 1-plane input/output transposes remain
-        (docs/kernels.md). Requires homogeneous 'linear'/'circular' tails
-        (``MADE.create(bin_major_head=...)`` guarantees it)."""
+        (docs/kernels.md). Requires 'linear'/'circular' (possibly mixed
+        per-feature) tails (``MADE.create(bin_major_head=...)`` guarantees
+        it); the plane-splitting/tail-slicing contract is shared with the
+        coupling feed in ``feed.kmajor_spline_feed``."""
+        from .feed import kmajor_spline_feed
+
         batch = inputs.shape[0]
         p = autoregressive_params.reshape(-1, self.features, batch)
-        uw = p[: self.num_bins] * self.softmax_scale
-        uh = p[self.num_bins:2 * self.num_bins] * self.softmax_scale
-        ud = p[2 * self.num_bins:]
-        if isinstance(self.tails, tuple) and len(set(self.tails)) > 1:
-            # mixed per-feature tails: K+1 derivative planes pass through;
-            # the k-major entry applies the per-feature padding along the
-            # feature axis (axis 0 of the transposed data)
-            tails_arg = list(self.tails)
-        else:
-            tails_arg = self.tails if isinstance(self.tails, str) \
-                else self.tails[0]
-            if ud.shape[0] == self.num_bins + 1:
-                # per-feature-tails K+1 param count, homogeneous: the tail
-                # padding overwrites the first/last entries, so slice to
-                # the scalar-variant planes
-                ud = ud[1:self.num_bins] if tails_arg == "linear" \
-                    else ud[: self.num_bins]
-        tb = self.tail_bound_arr if self.tail_bound_arr is not None \
-            else self.tail_bound
-        if self.tail_bound_arr is not None:
-            tb = tb.reshape(-1, 1)  # per-feature bounds over (D, B) data
-        y_t, ld_t = splines.unconstrained_rational_quadratic_spline_kmajor(
-            inputs.T, uw, uh, ud, inverse=inverse, tails=tails_arg,
-            tail_bound=tb, min_bin_width=self.min_bin_width,
+        return kmajor_spline_feed(
+            inputs, p, num_bins=self.num_bins, tails=self.tails,
+            tail_bound=self.tail_bound, tail_bound_arr=self.tail_bound_arr,
+            softmax_scale=self.softmax_scale, inverse=inverse,
+            min_bin_width=self.min_bin_width,
             min_bin_height=self.min_bin_height,
             min_derivative=self.min_derivative)
-        return y_t.T, jnp.sum(ld_t, axis=0)
 
     def _elementwise_forward(self, inputs, autoregressive_params):
         return self._elementwise(inputs, autoregressive_params, inverse=False)

@@ -316,29 +316,21 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
             min_derivative=self.min_derivative)
 
     def _homogeneous_tails(self):
-        """'linear'/'circular' when every transformed feature shares that
-        tail type (scalar, or a homogeneous per-feature tuple), else None.
-        A homogeneous tuple keeps the reference's 3K+1 parameter count
-        (``coupling.py:321-327``) but is pointwise-equivalent to the scalar
-        variant on a derivative sub-slice — first/last entries are
-        overwritten by the tail padding (see
-        ``ops.splines.unconstrained_rational_quadratic_spline``) — which
-        lets e.g. the cylinder's one-circular-feature couplings use the
-        fused bin-major feeds."""
-        if self.tails in ("linear", "circular"):
-            return self.tails
-        if isinstance(self.tails, tuple) and len(set(self.tails)) == 1 \
-                and self.tails[0] in ("linear", "circular"):
-            return self.tails[0]
-        return None
+        """See ``feed.homogeneous_tails`` (shared with the autoregressive
+        feed); homogeneity lets e.g. the cylinder's one-circular-feature
+        couplings use the fused bin-major feeds at reference
+        parameter-count parity."""
+        from .feed import homogeneous_tails
+
+        return homogeneous_tails(self.tails)
 
     def _slice_ud_planes(self, ud, homo):
         """Drop the derivative planes the tail padding would overwrite when
-        params carry the per-feature-tails K+1 count (leading-axis layout)."""
-        if ud.shape[0] == self.num_bins + 1:
-            return ud[1:self.num_bins] if homo == "linear" \
-                else ud[:self.num_bins]
-        return ud
+        params carry the per-feature-tails K+1 count (leading-axis layout;
+        shared contract in ``feed.slice_ud_planes``)."""
+        from .feed import slice_ud_planes
+
+        return slice_ud_planes(ud, self.num_bins, homo)
 
     def _coupling_transform(self, inputs, transform_params, inverse):
         homo = self._homogeneous_tails()
@@ -352,30 +344,16 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
             d = net_bin_major[0]
             p = transform_params.reshape(-1, d, b)
             if inputs.ndim == 2 and (homo is not None or mixed):
-                uw = p[: self.num_bins] * self.softmax_scale
-                uh = p[self.num_bins:2 * self.num_bins] * self.softmax_scale
-                if homo is not None:
-                    ud = self._slice_ud_planes(p[2 * self.num_bins:], homo)
-                    tails_arg = homo
-                else:
-                    # mixed per-feature tails: all K+1 planes pass through;
-                    # the k-major entry pads along the feature axis (axis 0
-                    # of the transposed data)
-                    ud = p[2 * self.num_bins:]
-                    tails_arg = list(self.tails)
-                tb = self.tail_bound_arr if self.tail_bound_arr is not None \
-                    else self.tail_bound
-                if self.tail_bound_arr is not None:
-                    tb = tb.reshape(-1, 1)  # per-feature bounds, (D, B) data
-                x_t = inputs.T  # (D, B): the only remaining relayout —
-                # one plane each way vs 3K+1 param planes (docs/kernels.md)
-                y_t, ld_t = \
-                    splines.unconstrained_rational_quadratic_spline_kmajor(
-                        x_t, uw, uh, ud, inverse=inverse, tails=tails_arg,
-                        tail_bound=tb, min_bin_width=self.min_bin_width,
-                        min_bin_height=self.min_bin_height,
-                        min_derivative=self.min_derivative)
-                return y_t.T, jnp.sum(ld_t, axis=0)
+                from .feed import kmajor_spline_feed
+
+                return kmajor_spline_feed(
+                    inputs, p, num_bins=self.num_bins, tails=self.tails,
+                    tail_bound=self.tail_bound,
+                    tail_bound_arr=self.tail_bound_arr,
+                    softmax_scale=self.softmax_scale, inverse=inverse,
+                    min_bin_width=self.min_bin_width,
+                    min_bin_height=self.min_bin_height,
+                    min_derivative=self.min_derivative)
             # unsupported tails/rank: fall back to the generic feed
             transform_params = jnp.moveaxis(p, (0, 1, 2), (2, 1, 0)) \
                 .reshape(b, -1)

@@ -117,16 +117,7 @@ def test_ar_rqs_bin_major_equals_generic():
         np.asarray(_head_to_bin_major(gb.final_layer.mask, head)),
         np.asarray(ga.final_layer.mask))
 
-    rng = np.random.RandomState(3)
-    w = rng.randn(*gb.final_layer.weight.shape).astype(np.float32) * 0.3
-    bias = rng.randn(*gb.final_layer.bias.shape).astype(np.float32) * 0.3
-    a = a.replace(mprqat=a.mprqat.replace(
-        autoregressive_net=ga.replace(final_layer=ga.final_layer.replace(
-            weight=jnp.asarray(_head_to_bin_major(w, head)),
-            bias=jnp.asarray(_head_to_bin_major(bias, head))))))
-    b = b.replace(mprqat=b.mprqat.replace(
-        autoregressive_net=gb.replace(final_layer=gb.final_layer.replace(
-            weight=jnp.asarray(w), bias=jnp.asarray(bias)))))
+    a, b = _copy_made_head(a, b, seed=3)
     x = jnp.asarray(np.random.RandomState(4).randn(6, 4).astype(np.float32)
                     * 2)
     # forward AND the D-pass scan inverse
