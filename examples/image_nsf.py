@@ -18,7 +18,7 @@ from nf_tpu.utils.preprocessing import Jitter, Scale
 
 from _utils import base_parser, train
 
-from glow import procedural_cifar
+from nf_tpu.data import procedural_image_classes
 
 
 def main():
@@ -35,8 +35,8 @@ def main():
     if args.data:
         x_all = jnp.asarray(np.load(args.data)["x"])
     else:
-        key, sub = jax.random.split(key)
-        x_all, _ = procedural_cifar(sub)
+        x_u8, _ = procedural_image_classes(args.seed, 2048)
+        x_all = jnp.asarray(x_u8)
     n = x_all.shape[0]
     scale, jitter = Scale(), Jitter()
 

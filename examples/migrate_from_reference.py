@@ -104,12 +104,22 @@ def main():
     print(f"imported {len(sd)} checkpoint entries")
 
     # --- parity check: migrated densities must equal the reference's ---
+    # matched arithmetic: the reference evaluates in exact f32 on CPU, so
+    # force exact-f32 matmuls here too — under the TPU's DEFAULT matmul
+    # precision (bf16 passes) the same weights read ~1e-2 apart after 16
+    # layers, which is eval arithmetic, not an import error (measured at
+    # the 50k-Glow scale in benchmarks/exp_ckpt_exchange_50k.py)
     import torch
 
     x_chk = x_np[:256]
     with torch.no_grad():
         lp_ref = ref_model.log_prob(torch.from_numpy(x_chk)).numpy()
-    lp_jax = np.asarray(model.log_prob(jnp.asarray(x_chk)))
+    @jax.jit
+    def f32_log_prob(xx):
+        with jax.default_matmul_precision("float32"):
+            return model.log_prob(xx)
+
+    lp_jax = np.asarray(f32_log_prob(jnp.asarray(x_chk)))
     gap = float(np.abs(lp_jax - lp_ref).max())
     print(f"parity: max |log_prob gap| = {gap:.2e} over {len(x_chk)} points")
     assert gap < 1e-3, "migrated densities diverge from the reference"
