@@ -219,6 +219,11 @@ def cmd_import(args):
             ref_s = f" (torch jsonl: {want[s]:.6f}, gap {b - want[s]:+.6f})"
         print(f"  jax eval_seed {s}: bpd {b:.6f} ± {sem:.5f}{ref_s}",
               flush=True)
+    if not want:
+        print(f"IMPORT INCONCLUSIVE: no torch jsonl rows at iter {it} "
+              "(checkpoints are written every 100 iters, eval rows only "
+              "at EVAL_ITERS — rerun when they coincide)", flush=True)
+        return
     print(f"IMPORT {'OK' if worst < 5e-3 else 'MISMATCH'} "
           f"(worst gap {worst:.2e})", flush=True)
 
