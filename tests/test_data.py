@@ -128,3 +128,47 @@ def test_glow_ab_generator_bit_identical_to_data_module():
     x_ab, y_ab = ab.procedural_cifar_np(np.random.default_rng(seed), n)
     x_dm, y_dm = procedural_image_classes(seed, n)
     assert (x_ab == x_dm).all() and (y_ab == y_dm).all()
+
+
+def test_glow_ab_report_precision_precedence(tmp_path, capsys):
+    """The A/B report must never mix eval precisions in one cell: exact-f32
+    tagged rows supersede untagged/default rows per (iter, framework) —
+    the two differ by ~0.02 bpd at late iterations (TPU default matmul
+    precision; benchmarks/exp_ckpt_exchange_50k.py)."""
+    import importlib.util
+    import json
+    import os
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "glow_bpd_ab2", os.path.join(os.path.dirname(__file__), os.pardir,
+                                     "benchmarks", "glow_bpd_ab.py"))
+    ab = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ab)
+    ab.OUT = str(tmp_path)
+
+    def w(name, rows):
+        with open(tmp_path / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    w("glow_abT_torch.jsonl", [
+        {"framework": "torch", "iter": 100, "eval_seed": 0, "bpd": 5.0,
+         "sem": 1e-4}])
+    # old-style untagged jax file (default precision) ...
+    w("glow_abT_jax.jsonl", [
+        {"framework": "jax", "iter": 100, "eval_seed": 0, "bpd": 4.8,
+         "sem": 1e-4}])
+    # ... and a dual-precision file: the f32 rows must win, the default
+    # rows (old file's AND this file's) must be excluded
+    w("glow_abT_jax_p32.jsonl", [
+        {"framework": "jax", "iter": 100, "eval_seed": 0,
+         "precision": "default", "bpd": 4.81, "sem": 1e-4},
+        {"framework": "jax", "iter": 100, "eval_seed": 0,
+         "precision": "float32", "bpd": 5.02, "sem": 1e-4}])
+
+    ab.cmd_report(types.SimpleNamespace(tag="T"))
+    table = capsys.readouterr().out
+    line = [l for l in table.splitlines() if l.startswith("| 100 ")][0]
+    assert "| 5.0200 |" in line, line      # f32 row only, not mean(4.8, ...)
+    assert "within" in line                 # 5.00 vs 5.02 at the 0.02 floor
