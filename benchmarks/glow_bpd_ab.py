@@ -138,7 +138,7 @@ def cmd_torch(args):
     import torch
     import normflows as nf
 
-    torch.manual_seed(0)
+    torch.manual_seed(args.model_seed)
     torch.set_num_threads(os.cpu_count() or 1)
     d = load_data(args.npz)
     x_tr, y_tr = d["x_train"], d["y_train"]
@@ -185,6 +185,7 @@ def cmd_torch(args):
                     bpds.append(nll.numpy() / np.log(2) / N_DIMS + 8)
                 b = np.concatenate(bpds)
                 row = {"framework": "torch", "iter": it, "eval_seed": s,
+                       "model_seed": args.model_seed,
                        "bpd": float(np.nanmean(b)),
                        "sem": float(np.nanstd(b) / np.sqrt(
                            np.sum(~np.isnan(b)))),
@@ -303,6 +304,12 @@ def cmd_jax(args):
     if args.eval_extra_npz:
         de = np.load(args.eval_extra_npz)
         chunks = len(de["y_eval"]) // len(test_y) * len(test_y)
+        if chunks < len(de["y_eval"]):
+            print(f"WARNING: eval-extra set truncated to {chunks} of "
+                  f"{len(de['y_eval'])} images (whole {len(test_y)}-image "
+                  f"chunks share one jitted executable); the final "
+                  f"{len(de['y_eval']) - chunks} images are dropped",
+                  flush=True)
         extra = {s: np.ascontiguousarray(de[f"x_eval_deq{s}"][:chunks])
                  for s in EVAL_SEEDS}
         extra_y = de["y_eval"][:chunks].astype(np.int32)
@@ -390,12 +397,17 @@ def cmd_report(args):
     # spread over model-init seeds IS the dominant MC-error term
     for p in sorted(glob.glob(os.path.join(OUT, f"glow_ab{tag}_torch*.jsonl"))
                     + glob.glob(os.path.join(OUT, f"glow_ab{tag}_jax*.jsonl"))):
-        with open(p) as f:
-            rows += [r for r in (json.loads(line) for line in f
-                                 if line.strip())
-                     if "eval_set" not in r]  # matched table: shared
-            # 512-image arrays only; the extra8192 tail rows are reported
-            # separately (docs/accuracy.md)
+        src = os.path.basename(p)  # one file per model-init seed
+        for line in open(p):
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            if "eval_set" in r:
+                continue  # matched table: shared 512-image arrays only;
+                # the extra8192 tail rows are reported separately
+                # (docs/accuracy.md)
+            r["_src"] = src
+            rows.append(r)
     # per (iter, framework): prefer exact-f32-tagged rows (directly
     # comparable to the reference leg's exact-f32 CPU arithmetic) over
     # untagged/default-precision rows from older runs; never mix the two
@@ -412,8 +424,27 @@ def cmd_report(args):
             by[key] = [r for r in rs if r.get("precision", "default")
                        == "default"]
     iters = sorted({i for i, _ in by})
-    lines = ["| iter | torch bpd | jax bpd | gap | MC error (jitter, ±sem) |",
-             "|---|---|---|---|---|"]
+
+    # measured torch init-variance band: per-iter peak-to-peak over the
+    # per-model-seed means (seeds live in separate *_seed*.jsonl files).
+    # For iters where only one torch seed ran, fall back to the spread at
+    # the LAST iter that has >=2 torch seeds (late-training init variance;
+    # rows using the fallback are footnoted, never silently floored).
+    torch_seed_spread, last_multi = {}, None
+    for it in iters:
+        rs = by.get((it, "torch"), [])
+        per_seed = {}
+        for r in rs:
+            per_seed.setdefault(r.get("_src", "?"), []).append(r["bpd"])
+        if len(per_seed) >= 2:
+            means = [float(np.mean(v)) for v in per_seed.values()]
+            torch_seed_spread[it] = float(np.ptp(means))
+            last_multi = it
+    fallback = torch_seed_spread.get(last_multi)
+
+    lines = ["| iter | torch bpd | jax bpd | gap | MC error (seeds, jitter, "
+             "±sem) |", "|---|---|---|---|---|"]
+    used_fallback = False
     for it in iters:
         cells, vals = {}, {}
         for fw in ("torch", "jax"):
@@ -430,13 +461,26 @@ def cmd_report(args):
             gap = vals["jax"][0] - vals["torch"][0]
             err = max(max(v[1] for v in vals.values()),
                       2 * max(v[2] for v in vals.values()))
-            verdict = "within" if abs(gap) <= max(err, 0.02) else "OUTSIDE"
+            note = ""
+            if it not in torch_seed_spread and fallback is not None:
+                # single torch seed at this iter: include the measured
+                # late-training torch init spread in the band
+                if fallback > err:
+                    err, note = fallback, "†"
+                    used_fallback = True
+            verdict = "within" if abs(gap) <= err else "OUTSIDE"
             gap_c = f"{gap:+.4f} ({verdict} MC err)"
-            mc = f"{err:.4f}"
+            mc = f"{err:.4f}{note}"
         else:
             gap_c, mc = "—", "—"
         lines.append(f"| {it} | {cells['torch']} | {cells['jax']} "
                      f"| {gap_c} | {mc} |")
+    if used_fallback:
+        lines.append("")
+        lines.append(f"† single torch model-seed at this iter; band widened "
+                     f"to the measured torch init spread at iter "
+                     f"{last_multi} ({fallback:.4f}), the latest iter with "
+                     f">=2 torch seeds.")
     report = "\n".join(lines)
     path = os.path.join(OUT, f"glow_ab{tag}_report.md")
     with open(path, "w") as f:

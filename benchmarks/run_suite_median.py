@@ -96,6 +96,11 @@ def main():
                 with open(rm_path) as f:
                     pinned = json.load(f)
                 pinned.setdefault("metrics", {}).update(agg)
+                # rows merged by --only carry their own n_runs; the file's
+                # top-level n_runs only describes never-re-measured rows
+                pinned["n_runs_note"] = ("per-row n_runs is authoritative; "
+                                         "top-level n_runs describes the "
+                                         "original full-suite batch only")
                 with open(rm_path, "w") as f:
                     json.dump(pinned, f, indent=2)
 

@@ -293,10 +293,16 @@ def _made(mod: MADE, sd, p):
         ctx = _conv_linear(ctx, sd, p + "context_layer.")
     final = _masked_linear(mod.final_layer, sd, p + "final_layer.")
     if mod.bin_major_head is not None:
+        # only permute a mask that actually came from the state dict —
+        # _masked_linear falls back to the model's own (already bin-major)
+        # mask when the checkpoint carries no mask buffers, and permuting
+        # that again would silently break autoregressivity
+        mask = (_head_to_bin_major(final.mask, mod.bin_major_head)
+                if sd.has(p + "final_layer.mask") else final.mask)
         final = final.replace(
             weight=_head_to_bin_major(final.weight, mod.bin_major_head),
             bias=_head_to_bin_major(final.bias, mod.bin_major_head),
-            mask=_head_to_bin_major(final.mask, mod.bin_major_head))
+            mask=mask)
     return mod.replace(
         initial_layer=_masked_linear(mod.initial_layer, sd,
                                      p + "initial_layer."),
