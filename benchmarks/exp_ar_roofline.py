@@ -44,7 +44,7 @@ BATCH, DIM, K, HIDDEN = 4096, 8, 4, 64
 
 def main():
     model = _build_ar_nsf(jax.random.PRNGKey(0), dim=DIM, K=K, hidden=HIDDEN)
-    net = model.flows[0].autoregressive_net
+    net = model.flows[0].mprqat.autoregressive_net
 
     def body_made(x):
         p = net(x)  # (mult*D, B) bin-major head output
@@ -52,7 +52,9 @@ def main():
         return x + p[:DIM].T * 1e-12
 
     x0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, DIM))
-    t_made = timed_chain(body_made, x0, 64, label="made_pass")
+    # the bare pass is ~10 us: thousands of reps are needed to put the R1
+    # span above the relay's ~30 ms launch overhead + wall jitter
+    t_made = timed_chain(body_made, x0, 4096, label="made_pass")
     floor = BATCH / (K * DIM * t_made)
     print(f"bare MADE pass: {t_made * 1e6:.2f} us  "
           f"=> K*D-pass floor {floor / 1e6:.2f} M samples/s")

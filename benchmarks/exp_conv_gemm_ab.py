@@ -51,7 +51,10 @@ def make_weights(key, cin, cout, hid=HID):
     ks = jax.random.split(key, 3)
     w1 = jax.random.normal(ks[0], (3, 3, cin, hid)) * (1 / np.sqrt(9 * cin))
     w2 = jax.random.normal(ks[1], (1, 1, hid, hid)) * (1 / np.sqrt(hid))
-    w3 = jnp.zeros((3, 3, hid, cout))  # zero-init output conv (reference)
+    # NOT zero-init (the model's real init): a zero output conv makes the
+    # stack output and its whole gradient exactly zero, and XLA dead-code
+    # eliminates the very work being measured
+    w3 = jax.random.normal(ks[2], (3, 3, hid, cout)) * (1 / np.sqrt(9 * hid))
     return w1, w2, w3
 
 
@@ -116,6 +119,9 @@ def stack_im2col_first(x_nhwc, ws):
 
 
 def run_config(cin, side, batch, results, reps=24):
+    """``reps`` must put the R1 chain span >= ~40 ms (bench_suite
+    docstring) or the two-point slope is relay noise — the sub-ms stacks
+    need hundreds of reps."""
     key = jax.random.PRNGKey(0)
     cout = 2 * cin  # coupling head emits scale+shift-sized output
     ws = make_weights(key, cin, cout)
@@ -153,20 +159,27 @@ def run_config(cin, side, batch, results, reps=24):
         t_f = timed_chain(fwd_body, x0, reps, label=f"{tag}_{nm}_fwd")
         t_g = timed_chain(grad_body, x0, max(4, reps // 2),
                           label=f"{tag}_{nm}_vg")
-        results[f"{tag}_{nm}"] = dict(fwd_ms=round(t_f * 1e3, 4),
-                                      grad_ms=round(t_g * 1e3, 4))
-        print(f"{tag:16s} {nm:14s} fwd {t_f * 1e3:7.3f} ms   "
+        m_rows = batch * side * side
+        flops = 2 * m_rows * (9 * cin * HID + HID * HID + 9 * HID * cout)
+        results[f"{tag}_{nm}"] = dict(
+            fwd_ms=round(t_f * 1e3, 4), grad_ms=round(t_g * 1e3, 4),
+            fwd_tflops=round(flops / t_f / 1e12, 2))
+        print(f"{tag:16s} {nm:14s} fwd {t_f * 1e3:7.3f} ms "
+              f"({flops / t_f / 1e12:5.1f} TF/s)  "
               f"fwd+grad {t_g * 1e3:7.3f} ms", flush=True)
 
 
 def main():
     results = {}
     # full-recipe conditioner shapes (channel-split halves the level's
-    # channels): L0 6ch@16x16, L1 12ch@8x8, L2 24ch@4x4 — plus the
-    # verdict's 12ch@32x32 stress shape
-    for cin, side, batch in ((6, 16, 128), (12, 8, 128), (24, 4, 128),
-                             (12, 32, 128)):
-        run_config(cin, side, batch, results)
+    # channels): L0 6ch@16x16 (the 16 dominant blocks), L1 12ch@8x8 —
+    # plus the verdict's 12ch@32x32 stress shape. reps sized for >=40 ms
+    # R1 spans at the measured per-stack times (L2 24ch@4x4 is dropped:
+    # at ~10-30 us/stack even 4096 reps sit inside relay noise, and the
+    # level contributes ~1% of the step).
+    for cin, side, batch, reps in ((6, 16, 128, 512), (12, 8, 128, 1024),
+                                   (12, 32, 128, 48)):
+        run_config(cin, side, batch, results, reps=reps)
     os.makedirs(OUT, exist_ok=True)
     path = os.path.join(OUT, "conv_gemm_ab.json")
     with open(path, "w") as f:

@@ -62,14 +62,21 @@ class Coupling(Flow):
             transform_split)
         return out
 
+    def _transform_params(self, identity_split, context, key):
+        """Conditioner output for the transform half. Subclasses may
+        return an alternative representation their ``_coupling_transform``
+        understands (the RQ coupling returns transposed hidden features so
+        the head matmul fuses into the spline kernel)."""
+        return self.transform_net(identity_split, context, key=key)
+
     def forward(self, inputs, context=None, key=None):
         if inputs.ndim not in (2, 4):
             raise ValueError("Inputs must be a 2D or a 4D tensor.")
         identity_split = inputs[:, np.asarray(self.identity_features), ...]
         transform_split = inputs[:, np.asarray(self.transform_features), ...]
 
-        transform_params = self.transform_net(identity_split, context,
-                                              key=key)
+        transform_params = self._transform_params(identity_split, context,
+                                                  key)
         transform_split, logabsdet = self._coupling_transform_forward(
             transform_split, transform_params)
 
@@ -94,8 +101,8 @@ class Coupling(Flow):
                 self.unconditional_transform.inverse(identity_split,
                                                      context=context)
 
-        transform_params = self.transform_net(identity_split, context,
-                                              key=key)
+        transform_params = self._transform_params(identity_split, context,
+                                                  key)
         transform_split, logabsdet_split = self._coupling_transform_inverse(
             transform_split, transform_params)
         logabsdet = logabsdet + logabsdet_split
@@ -332,7 +339,38 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
 
         return slice_ud_planes(ud, self.num_bins, homo)
 
+    def _transform_params(self, identity_split, context, key):
+        """Route the conditioner through transposed execution when the
+        fused head+spline kernel will consume it: the trunk emits
+        ``(hidden, batch)`` features and the final head matmul moves
+        inside the Pallas kernel (``ops.spline_head_fused``)."""
+        from ...ops.spline_head_fused import fused_head_wanted
+        from .feed import FusedFeed, fused_head_eligible
+
+        if (identity_split.ndim == 2
+                and fused_head_eligible(self.transform_net, self.tails,
+                                        self.tail_bound_arr, self.num_bins)
+                and fused_head_wanted(identity_split.shape[0]
+                                      * len(self.transform_features))):
+            return FusedFeed(self.transform_net.features_transposed(
+                identity_split, context, key=key))
+        return self.transform_net(identity_split, context, key=key)
+
     def _coupling_transform(self, inputs, transform_params, inverse):
+        from .feed import FusedFeed
+
+        if isinstance(transform_params, FusedFeed):
+            from .feed import fused_head_spline_feed
+
+            return fused_head_spline_feed(
+                inputs, transform_params.h_t, self.transform_net,
+                num_bins=self.num_bins, tails=self.tails,
+                tail_bound=self.tail_bound,
+                tail_bound_arr=self.tail_bound_arr,
+                softmax_scale=self.softmax_scale, inverse=inverse,
+                min_bin_width=self.min_bin_width,
+                min_bin_height=self.min_bin_height,
+                min_derivative=self.min_derivative)
         homo = self._homogeneous_tails()
         mixed = (isinstance(self.tails, tuple)
                  and set(self.tails) <= {"linear", "circular"})

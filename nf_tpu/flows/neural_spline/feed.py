@@ -14,9 +14,57 @@ below; keeping it in one place keeps their numerics tied together
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 
 from ...ops import splines
+from ...ops import spline_head_fused as _fused
+
+
+class FusedFeed(NamedTuple):
+    """Conditioner output for the fused head+spline path: the TRANSPOSED
+    hidden activations ``(hidden, batch)`` from
+    ``net.features_transposed`` — the head matmul itself happens inside
+    the Pallas kernel (``ops.spline_head_fused``)."""
+
+    h_t: jax.Array
+
+
+def fused_head_eligible(net, tails, tail_bound_arr, num_bins):
+    """Static dispatch test for the fused head+spline kernel: the
+    conditioner must run transposed and carry a bin-major head whose row
+    count is exactly the homogeneous-tail effective layout; mixed
+    per-feature tails stay on the generic k-major feed. (Per-feature
+    tail BOUNDS are fine — the kernel takes a (D,) bound.)"""
+    homo = homogeneous_tails(tails)
+    if homo is None:
+        return False
+    head = getattr(net, "bin_major_head", None)
+    if head is None or not hasattr(net, "features_transposed"):
+        return False
+    feats, mult = head
+    return mult == 2 * num_bins + _fused._dplanes(num_bins, homo)
+
+
+def fused_head_spline_feed(inputs, h_t, net, *, num_bins, tails, tail_bound,
+                           tail_bound_arr, softmax_scale, inverse,
+                           min_bin_width, min_bin_height, min_derivative):
+    """Fused-kernel twin of :func:`kmajor_spline_feed`: ``(B, D)`` inputs +
+    transposed hidden activations; the head GEMM runs inside the kernel and
+    the 3K parameter planes never touch HBM. Same outputs, same gradients
+    (tests/test_fused_head.py pins both against the unfused path)."""
+    homo = homogeneous_tails(tails)
+    w_eff, b_eff = _fused.effective_head(
+        net.final_layer.weight, net.final_layer.bias, num_bins=num_bins,
+        feats=inputs.shape[1], tails=homo, softmax_scale=softmax_scale)
+    tb = tail_bound_arr if tail_bound_arr is not None else tail_bound
+    y_t, ld_t = _fused.fused_head_rqs(
+        inputs.T, h_t, w_eff, b_eff, num_bins=num_bins, tails=homo,
+        tail_bound=tb, inverse=inverse, min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height, min_derivative=min_derivative)
+    return y_t.T, jnp.sum(ld_t, axis=0)
 
 
 def homogeneous_tails(tails):

@@ -60,6 +60,17 @@ class Linear(Module):
             y = y + self.bias[:, None]
         return y
 
+    def matmul_t(self, x_t):
+        """Apply to an ALREADY-transposed ``(in, batch)`` input:
+        ``W @ x_t + b[:, None]``. Used by transposed conditioner execution
+        (``ResidualNet.features_transposed``) so hidden activations flow
+        feature-major end to end and the fused head+spline kernel never
+        needs a data transpose."""
+        y = jnp.dot(self.weight, x_t, preferred_element_type=x_t.dtype)
+        if self.bias is not None:
+            y = y + self.bias[:, None]
+        return y
+
 
 def clamp_exp(x):
     """Nonlinearity ``min(exp(x), 1)`` (reference ``utils/nn.py:60``)."""

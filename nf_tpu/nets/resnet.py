@@ -47,6 +47,15 @@ class _BatchAffineNorm(Module):
             + self.beta[None, :, None, None]
 
 
+def _bn_t(bn, x_t):
+    """_BatchAffineNorm on feature-major ``(features, batch)`` data: the
+    batch axis moves to 1, the affine broadcasts over it."""
+    mean = jnp.mean(x_t, axis=1, keepdims=True)
+    var = jnp.var(x_t, axis=1, keepdims=True)
+    xn = (x_t - mean) * jax.lax.rsqrt(var + bn.eps)
+    return xn * bn.gamma[:, None] + bn.beta[:, None]
+
+
 class ResidualBlock(Module):
     """Pre-activation residual block (reference ``resnet.py:7-51``)."""
 
@@ -91,6 +100,31 @@ class ResidualBlock(Module):
         if context is not None and self.context_layer is not None:
             temps = temps * jax.nn.sigmoid(self.context_layer(context))
         return inputs + temps
+
+    def call_transposed(self, inputs_t, context_t=None, key=None):
+        """Same block on feature-major ``(features, batch)`` activations
+        (every matmul via ``Linear.matmul_t``; the rest is elementwise,
+        so numerics match ``__call__`` exactly — enforced by
+        tests/test_fused_head.py). Dropout draws its mask in the
+        transposed shape: a different (equally valid) sample than the
+        batch-major path."""
+        temps = inputs_t
+        if self.batch_norms is not None:
+            temps = _bn_t(self.batch_norms[0], temps)
+        temps = self.activation(temps)
+        temps = self.linears[0].matmul_t(temps)
+        if self.batch_norms is not None:
+            temps = _bn_t(self.batch_norms[1], temps)
+        temps = self.activation(temps)
+        if self.dropout > 0 and key is not None:
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(key, keep, temps.shape)
+            temps = jnp.where(mask, temps / keep, 0.0)
+        temps = self.linears[1].matmul_t(temps)
+        if context_t is not None and self.context_layer is not None:
+            temps = temps * jax.nn.sigmoid(
+                self.context_layer.matmul_t(context_t))
+        return inputs_t + temps
 
 
 class ResidualNet(Module):
@@ -155,6 +189,26 @@ class ResidualNet(Module):
         if self.bin_major_head is not None:
             return self.final_layer.call_transposed(temps)
         return self.final_layer(temps)
+
+    def features_transposed(self, inputs, context=None, key=None):
+        """Hidden activations BEFORE the final layer, feature-major
+        ``(hidden, batch)`` — the whole trunk runs transposed
+        (``Linear.matmul_t``; activations/residual adds are elementwise),
+        so no data transpose is ever materialized. Feeds the fused
+        head+spline kernel (``ops.spline_head_fused``), which consumes
+        these activations together with ``final_layer`` weights."""
+        temps = inputs if self.preprocessing is None \
+            else self.preprocessing(inputs)
+        temps_t = temps.T  # (in_features, batch): D is small, this is the
+        # only transpose and it is of the tiny pre-trunk input
+        context_t = context.T if context is not None else None
+        if context_t is not None:
+            temps_t = jnp.concatenate([temps_t, context_t], axis=0)
+        temps_t = self.initial_layer.matmul_t(temps_t)
+        for i, block in enumerate(self.blocks):
+            bk = jax.random.fold_in(key, i) if key is not None else None
+            temps_t = block.call_transposed(temps_t, context_t, key=bk)
+        return temps_t
 
 
 class ConvResidualBlock(Module):

@@ -171,4 +171,54 @@ def test_glow_ab_report_precision_precedence(tmp_path, capsys):
     table = capsys.readouterr().out
     line = [l for l in table.splitlines() if l.startswith("| 100 ")][0]
     assert "| 5.0200 |" in line, line      # f32 row only, not mean(4.8, ...)
-    assert "within" in line                 # 5.00 vs 5.02 at the 0.02 floor
+    # bands are MEASURED now (the round-4 0.02 floor is gone): a 0.02 gap
+    # against a 2e-4 band must be reported OUTSIDE, not floored away
+    assert "OUTSIDE" in line, line
+
+
+def test_glow_ab_report_measured_seed_band(tmp_path, capsys):
+    """With a second torch model-seed on file, the agreement band is the
+    measured per-iter seed spread; iters that only one torch seed reached
+    use the latest multi-seed spread and are footnoted, never floored."""
+    import importlib.util
+    import json
+    import os
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "glow_bpd_ab3", os.path.join(os.path.dirname(__file__), os.pardir,
+                                     "benchmarks", "glow_bpd_ab.py"))
+    ab = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ab)
+    ab.OUT = str(tmp_path)
+
+    def w(name, rows):
+        with open(tmp_path / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    w("glow_abS_torch.jsonl", [
+        {"framework": "torch", "iter": 100, "eval_seed": 0, "bpd": 5.00,
+         "sem": 1e-4},
+        {"framework": "torch", "iter": 200, "eval_seed": 0, "bpd": 4.90,
+         "sem": 1e-4}])
+    w("glow_abS_torch_seed1.jsonl", [
+        {"framework": "torch", "iter": 100, "eval_seed": 0, "bpd": 5.03,
+         "sem": 1e-4}])  # seed spread 0.03 at iter 100; no row at 200
+    w("glow_abS_jax.jsonl", [
+        {"framework": "jax", "iter": 100, "eval_seed": 0, "bpd": 5.035,
+         "sem": 1e-4},
+        {"framework": "jax", "iter": 200, "eval_seed": 0, "bpd": 4.92,
+         "sem": 1e-4}])
+
+    ab.cmd_report(types.SimpleNamespace(tag="S"))
+    table = capsys.readouterr().out
+    l100 = [l for l in table.splitlines() if l.startswith("| 100 ")][0]
+    l200 = [l for l in table.splitlines() if l.startswith("| 200 ")][0]
+    # iter 100: measured band = seed spread 0.03 >= |5.035 - 5.015| = 0.02
+    assert "within" in l100, l100
+    assert "†" not in l100, l100  # measured at this iter, no footnote
+    # iter 200: single torch seed; band widened to the iter-100 spread
+    # (0.03 > |4.92 - 4.90|), footnoted
+    assert "within" in l200 and "†" in l200, l200
+    assert "† single torch model-seed" in table

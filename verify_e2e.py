@@ -222,15 +222,20 @@ def check_nsf2d_bin_major():
                   _head_to_bin_major(bias, head))
     b = with_head(b, w, bias)
     x = jax.random.normal(jax.random.PRNGKey(4), (4096, 4)) * 2
-    for direction in ("forward", "inverse"):
-        za, lda = jax.jit(getattr(a, direction))(x)
-        zb, ldb = jax.jit(getattr(b, direction))(x)
-        dz = float(jnp.max(jnp.abs(za - zb)))
-        dl = float(jnp.max(jnp.abs(lda - ldb)))
-        assert dz < 1e-4 and dl < 1e-3, \
-            f"bin-major vs generic {direction}: dz={dz} dl={dl}"
-        print(f"  bin-major vs feature-major {direction}: "
-              f"dz {dz:.2e}, dld {dl:.2e}", flush=True)
+    # precision-matched: the bin-major arm now routes through the fused
+    # head+spline kernel (in-kernel f32 MXU GEMM) while the feature-major
+    # arm's head GEMM runs at the TPU's default bf16-pass precision — pin
+    # both to exact f32 so the 1e-4 layout-equivalence tolerance holds
+    with jax.default_matmul_precision("float32"):
+        for direction in ("forward", "inverse"):
+            za, lda = jax.jit(getattr(a, direction))(x)
+            zb, ldb = jax.jit(getattr(b, direction))(x)
+            dz = float(jnp.max(jnp.abs(za - zb)))
+            dl = float(jnp.max(jnp.abs(lda - ldb)))
+            assert dz < 1e-4 and dl < 1e-3, \
+                f"bin-major vs generic {direction}: dz={dz} dl={dl}"
+            print(f"  bin-major vs feature-major {direction}: "
+                  f"dz {dz:.2e}, dld {dl:.2e}", flush=True)
 
     # mixed circular/linear tails (the cylinder flagship config) through
     # the same fast feed: per-feature derivative padding in the k-major
