@@ -301,10 +301,14 @@ def _build_ar_nsf(key, dim=8, K=4, hidden=64, num_bins=8):
         DiagGaussian.create(dim, trainable=False), flows)
 
 
-def bench_ar_nsf_sampling(batch=4096, dim=8, K=4, hidden=64, reps=12):
+def bench_ar_nsf_sampling(batch=4096, dim=8, K=4, hidden=64, reps=96):
     """SAMPLING throughput of the autoregressive NSF — the direction that
     pays the D-pass MADE inverse as a ``lax.scan`` (previously unmeasured;
-    log_prob is the cheap single-pass direction)."""
+    log_prob is the cheap single-pass direction).
+
+    reps 12 -> 96 in round 5: at ~0.4 ms/body the old R1 span was ~5 ms —
+    inside the relay's wall jitter, which is where the row's x1.32 spread
+    came from; 96 puts it at ~38 ms (the suite's sizing target)."""
     model = _build_ar_nsf(jax.random.PRNGKey(0), dim=dim, K=K,
                           hidden=hidden)
 
@@ -389,11 +393,11 @@ def bench_residual_train_step(batch=1 << 9, K=16, hidden=128, reps=12):
            loss=float(loss), note="incl. update_lipschitz(50) per step")
 
 
-def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=64,
+def bench_glow_step(batch=64, L=2, K=8, hidden=128, reps=128,
                     mixed_precision=False):
-    # reps doubled 32 -> 64 in round 4: the f32 row's x1.146 spread was the
-    # widest in results_median.json and underpins the f32/bf16-parity
-    # claim; the longer chain brings it under the <1.15x sizing target.
+    # reps doubled 32 -> 64 in round 4 and again 64 -> 128 in round 5 (the
+    # round-4 pooled batches still spread x1.9 under relay contention; the
+    # verdict asked for longer chains in one quiesced window).
     import optax
 
     from nf_tpu.parallel import init_train_state, make_forward_kld_step

@@ -60,8 +60,13 @@ def _examples_on_path():
 
 
 @pytest.mark.parametrize("spec", sorted(SMOKE))
-def test_example_smoke(spec, monkeypatch):
+def test_example_smoke(spec, monkeypatch, tmp_path):
     name = spec.split()[0]
     mod = importlib.import_module(name)
+    # sandbox examples/out/: some examples write CSVs even without --plot,
+    # and a 2-iteration smoke run must not clobber the committed artifacts
+    import _utils
+
+    monkeypatch.setattr(_utils, "OUT_DIR", str(tmp_path))
     monkeypatch.setattr(sys, "argv", [name + ".py"] + SMOKE[spec])
     mod.main()
