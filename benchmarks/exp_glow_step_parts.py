@@ -100,20 +100,30 @@ def main():
         m = model if scan else build(scan=False)
         state, static2 = init_train_state(m, opt)
         step = make_forward_kld_step(static2, opt, donate=donate)
-        if donate:
-            # donation invalidates the input state; rebuild per timing try
-            # is wrong for throughput — chain the donated output instead
-            state, loss = step(state, (x, y))
-            _force(loss)
+        try:
+            if donate:
+                # donation invalidates the input state; rebuild per timing
+                # try is wrong for throughput — chain the donated output
+                state, loss = step(state, (x, y))
+                _force(loss)
 
-            def one(s):
-                return step(s, (x, y))
+                def one(s):
+                    return step(s, (x, y))
 
-            dt = _two_point_steps(one, state, 8)
-        else:
-            state, loss = step(state, (x, y))
-            _force(loss)
-            dt = _two_point_steps(lambda s: step(s, (x, y)), state, 8)
+                dt = _two_point_steps(one, state, 8)
+            else:
+                state, loss = step(state, (x, y))
+                _force(loss)
+                dt = _two_point_steps(lambda s: step(s, (x, y)), state, 8)
+        except Exception as e:  # noqa: BLE001
+            # the relay rejects host fetches of buffers aliased into a
+            # donated executable (InvalidArgument) — record and move on;
+            # `full` already shows the optimizer machinery costs ~0.3 ms,
+            # so donation has nothing left to buy at this model size
+            results[f"{name}_error"] = str(e).splitlines()[0][:120]
+            print(f"{name:20s}  FAILED ({type(e).__name__}; relay "
+                  f"donated-buffer fetch)", flush=True)
+            continue
         results[f"{name}_ms"] = round(dt * 1e3, 3)
         print(f"{name:20s}  {dt * 1e3:7.3f} ms "
               f"({B / dt:8.0f} images/s)", flush=True)
