@@ -46,6 +46,10 @@ def main():
     jax0 = rows("glow_ab50k_jax_p32.jsonl", "jax", "float32")
     jax1 = rows("glow_ab50k_jax_p32_seed1.jsonl", "jax", "float32")
     tor = rows("glow_ab50k_torch.jsonl", "torch")
+    try:
+        tor1 = rows("glow_ab50k_torch_seed1.jsonl", "torch")
+    except FileNotFoundError:
+        tor1 = ([], [])
 
     fig, ax = plt.subplots(figsize=(7.2, 4.2), dpi=160)
     fig.patch.set_facecolor(SURFACE)
@@ -54,7 +58,10 @@ def main():
     ax.plot(*jax0, color=BLUE, lw=1.8, label="nf_tpu (v5e), seed 0")
     ax.plot(*jax1, color=BLUE, lw=1.8, ls="--", label="nf_tpu (v5e), seed 1")
     ax.plot(*tor, color=ORANGE, lw=1.8, marker="o", ms=4.5,
-            label="reference normflows (host CPU)")
+            label="reference normflows (host CPU), seed 0")
+    if tor1[0]:
+        ax.plot(*tor1, color=ORANGE, lw=1.8, ls="--", marker="o", ms=4.5,
+                label="reference normflows (host CPU), seed 1")
 
     ax.set_xscale("log")
     ax.set_xlabel("training iteration (log scale)", color=INK2)
